@@ -1,0 +1,226 @@
+"""Windowed HDF5 training dataset, resumable infinite sampler, async loader.
+
+Parity targets:
+
+- ``WindowDataset`` — the reference ``COSMODataset`` (dataset.py:60-126):
+  one HDF5 file with dataset ``"x"`` of shape [T, C, H, W]; item i is the
+  sliding window x[i:i+window], flattened along (frame, var) into channels;
+  optional full in-RAM cache; ``len = T - window + 1``.
+- ``InfiniteSampler`` — EDM2-style resumable stream (dataset.py:11-40):
+  per-epoch deterministic shuffle seeded by hash((seed, epoch)), rank-strided
+  sharding (start at ``start_idx + rank``, stride ``num_replicas``), resumed
+  exactly by setting ``start_idx = cur_ndata``.  This is the entire
+  data-parallel input sharding mechanism.
+- ``PrefetchLoader`` — replaces the torch DataLoader worker processes
+  (training_loop.py:174-181) with host threads that read h5 windows and
+  assemble device-ready NHWC batches ahead of the train step.
+
+TPU-first notes: batches are produced as [B, H, W, window*C] float32 NHWC
+(frame-major channel order, matching diffusion/window.py) so no transpose
+runs on device; the loader double-buffers via a bounded queue.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from climate2weather_tpu.utils.registry import register
+from climate2weather_tpu.utils.seeding import derive_seed
+
+
+class InfiniteSampler:
+    """Infinite, shuffled, rank-strided, resumable index stream."""
+
+    def __init__(
+        self,
+        dataset_size: int,
+        rank: int = 0,
+        num_replicas: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        start_idx: int = 0,
+    ):
+        assert dataset_size > 0
+        assert num_replicas > 0
+        assert 0 <= rank < num_replicas
+        self.dataset_size = dataset_size
+        self.start_idx = start_idx + rank
+        self.stride = num_replicas
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[int]:
+        idx = self.start_idx
+        epoch = None
+        order = None
+        while True:
+            if epoch != idx // self.dataset_size:
+                epoch = idx // self.dataset_size
+                order = np.arange(self.dataset_size)
+                if self.shuffle:
+                    np.random.RandomState(derive_seed(self.seed, epoch)).shuffle(order)
+            yield int(order[idx % self.dataset_size])
+            idx += self.stride
+
+
+@register("cosmo_dataset")
+class WindowDataset:
+    """Sliding-time-window dataset over an HDF5 [T, C, H, W] array."""
+
+    def __init__(
+        self,
+        data_path: str,
+        num_features: int,
+        spatial_res: int,
+        window: int,
+        cached: bool = False,
+        flatten: bool = True,
+        h5_var: str = "x",
+    ):
+        import h5py
+
+        self._data_path = os.path.abspath(data_path)
+        assert os.path.isfile(self._data_path), self._data_path
+        self._h5_var = h5_var
+        self._window = int(window)
+        self._flatten = bool(flatten)
+        self._cached = bool(cached)
+        self._local = threading.local()
+
+        with h5py.File(self._data_path, "r") as f:
+            shape = f[self._h5_var].shape
+            if self._cached:
+                self._cache = f[self._h5_var][:]
+            else:
+                self._cache = None
+        self._shape = tuple(shape)
+
+        assert self._shape[-1] == self._shape[-2] == spatial_res, (
+            f"spatial_res {spatial_res} != data {self._shape[-2:]}"
+        )
+        assert num_features == self.num_features, (
+            f"The number of specified features ({num_features}) does not match "
+            f"the number of features in the data ({self.num_features})."
+        )
+        self.spatial_res = spatial_res
+
+    # -- reference-compatible surface --------------------------------------
+    def __len__(self) -> int:
+        return self._shape[0] - self._window + 1
+
+    @property
+    def window(self) -> int:
+        return self._window
+
+    @property
+    def flatten(self) -> bool:
+        return self._flatten
+
+    @property
+    def num_features(self) -> int:
+        return self._shape[-3]
+
+    @property
+    def raw_data_shape(self):
+        return self._shape
+
+    @property
+    def data_path(self) -> str:
+        return self._data_path
+
+    def _reader(self):
+        if self._cache is not None:
+            return self._cache
+        # one lazy h5 handle per reader thread (reference: per-worker handle,
+        # dataset.py:115-116)
+        if not hasattr(self._local, "ds"):
+            import h5py
+
+            self._local.ds = h5py.File(self._data_path, "r")[self._h5_var]
+        return self._local.ds
+
+    def load_window(self, i: int) -> np.ndarray:
+        """[window, C, H, W] float32 raw window."""
+        return np.asarray(self._reader()[i : i + self._window], np.float32)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        """NHWC item: [H, W, window*C] (flatten=True) or [window, H, W, C]."""
+        x = self.load_window(i)  # [w, C, H, W]
+        if self._flatten:
+            w, c, h, wd = x.shape
+            # -> [H, W, w, C] -> [H, W, w*C]; frame-major channel order
+            return np.ascontiguousarray(x.transpose(2, 3, 0, 1)).reshape(h, wd, w * c)
+        return np.ascontiguousarray(x.transpose(0, 2, 3, 1))
+
+
+class PrefetchLoader:
+    """Threaded batch assembly with a bounded prefetch queue.
+
+    Yields [rounds, B, ...] float32 numpy arrays ready for ``device_put``.
+    """
+
+    def __init__(
+        self,
+        dataset: WindowDataset,
+        sampler: InfiniteSampler,
+        batch_size: int,
+        rounds: int = 1,
+        num_threads: int = 2,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.rounds = rounds
+        self.num_threads = num_threads
+        self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._index_iter = iter(sampler)
+        self._index_lock = threading.Lock()
+        self._threads = []
+
+    def _next_indices(self, n: int):
+        with self._index_lock:
+            return [next(self._index_iter) for _ in range(n)]
+
+    def _worker(self):
+        while not self._stop.is_set():
+            idxs = self._next_indices(self.rounds * self.batch_size)
+            items = [self.dataset[i] for i in idxs]
+            batch = np.stack(items).reshape(
+                (self.rounds, self.batch_size) + items[0].shape
+            )
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self) -> "PrefetchLoader":
+        # NOTE: with >1 thread batch order interleaves nondeterministically;
+        # use num_threads=1 for bit-exact resumable streams.
+        for _ in range(self.num_threads):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if not self._threads:
+            self.start()
+        return self.queue.get()
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []

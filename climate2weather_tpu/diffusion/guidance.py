@@ -1,0 +1,129 @@
+"""Gaussian likelihood guidance through a coarse-graining observation operator.
+
+Implements posterior-score conditioning for score-based data assimilation:
+
+    p(y | x) = N(y | A(x_hat0), var),
+    var      = std^2 + gamma * (sigma(t)/mu(t))^2,
+    guided_eps = eps_pred - sigma(t) * grad_x log p(y | x_t)
+
+Capability parity with the reference's ``condition_on`` closure
+(src/thor/score.py:44-60) and the legacy ``GaussianScore``
+(model/score.py:73-122) — one implementation covers both, as SURVEY.md §2.1
+recommends.
+
+TPU-first redesign: in the production (detached, ``exact_grad=False``) mode
+the likelihood gradient flows only through the *linear* map
+x_t -> x_hat0 = (x_t - sigma eps)/mu (eps detached) and the linear observation
+operator A.  Its gradient is therefore closed-form:
+
+    grad_x log p = (1/mu) * A^T((y - A(x_hat0)) / var)
+
+where A^T is the exact adjoint of spatial average-pooling + temporal striding
+(a scaled broadcast-scatter).  The reference instead runs
+``torch.func.jacrev(..., chunk_size=1)`` through the fold/unfold machinery
+(src/thor/score.py:28-35) — the single biggest inefficiency in its sampler.
+The autodiff path is kept for ``exact_grad=True`` and as a numerical check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SpatioTemporalCoarsening:
+    """A = spatial s_step x s_step average pooling after temporal ::t_step
+    subsampling (reference exp/downscaling.py:129-132).
+
+    Operates on NHWC trajectories [L, H, W, C].  ``adjoint`` is the exact
+    transpose: nearest-broadcast / s^2 in space, zero-fill at unobserved
+    times.
+    """
+
+    s_step: int = 16
+    t_step: int = 6
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x[:: self.t_step]
+        lo, H, W, C = x.shape
+        s = self.s_step
+        x = x.reshape(lo, H // s, s, W // s, s, C)
+        return x.mean(axis=(2, 4))
+
+    def adjoint(self, v: jnp.ndarray, out_len: int) -> jnp.ndarray:
+        lo, h, w, C = v.shape
+        s = self.s_step
+        u = v[:, :, None, :, None, :] / (s * s)
+        u = jnp.broadcast_to(u, (lo, h, s, w, s, C)).reshape(lo, h * s, w * s, C)
+        out = jnp.zeros((out_len, h * s, w * s, C), v.dtype)
+        return out.at[:: self.t_step].set(u[: -(-out_len // self.t_step)])
+
+    def out_times(self, length: int) -> int:
+        return -(-length // self.t_step)
+
+
+@dataclass
+class GaussianGuidance:
+    """Likelihood-guided eps prediction (the SDA posterior score).
+
+    Arguments mirror ``condition_on`` (src/thor/score.py:44): the operator
+    ``A``, observation ``y`` (shape = A(x)), per-channel or scalar ``std`` and
+    ``gamma`` (broadcast over [*, 1, 1, C] in NHWC — the reference's
+    [1, C, 1, 1] in NCHW), and ``exact_grad`` selecting autodiff through the
+    eps network versus the detached analytic adjoint (the production mode in
+    all published configs).
+    """
+
+    A: SpatioTemporalCoarsening
+    y: jnp.ndarray
+    std: Union[float, jnp.ndarray] = 1e-2
+    gamma: Union[float, jnp.ndarray] = 1e-2
+    exact_grad: bool = False
+
+    def _var(self, mu, sigma):
+        std = jnp.asarray(self.std, jnp.float32)
+        gamma = jnp.asarray(self.gamma, jnp.float32)
+        return std**2 + gamma * (sigma / mu) ** 2
+
+    def guided_eps(
+        self,
+        score_fn: Callable,
+        process,
+        x: jnp.ndarray,
+        t,
+    ) -> jnp.ndarray:
+        """eps_pred - sigma * grad log p(y | x_t) on a [L, H, W, C] trajectory."""
+        mu = process.mu(t)
+        sigma = process.sigma(t)
+        var = self._var(mu, sigma)
+        L = x.shape[0]
+
+        if not self.exact_grad:
+            eps = score_fn(x, t)
+            x0 = process.denoise(x, t, eps)
+            err = (self.y.astype(jnp.float32) - self.A(x0).astype(jnp.float32)) / var
+            grad = self.A.adjoint(err.astype(x.dtype), L) / mu.astype(x.dtype)
+            return eps - sigma.astype(x.dtype) * grad
+
+        def log_p(xx):
+            eps = score_fn(xx, t)
+            x0 = process.denoise(xx, t, eps)
+            err = self.y.astype(jnp.float32) - self.A(x0).astype(jnp.float32)
+            return -jnp.sum(err**2 / var) / 2.0, eps
+
+        grad, eps = jax.grad(log_p, has_aux=True)(x)
+        return eps - sigma.astype(x.dtype) * grad
+
+
+def per_channel(values, num_channels: int) -> jnp.ndarray:
+    """Broadcastable [1, 1, 1, C] array from a scalar or per-channel sequence
+    (reference exp/downscaling.py:221-242)."""
+    v = jnp.asarray(values, jnp.float32)
+    if v.ndim == 0:
+        return v
+    assert v.shape == (num_channels,), (v.shape, num_channels)
+    return v.reshape(1, 1, 1, num_channels)

@@ -1,0 +1,171 @@
+"""Markov-blanket window scoring — the framework's sequence-scaling mechanism.
+
+The score of an L-frame trajectory is composed from overlapping (2k+1)-frame
+window scores: each window is flattened to w*C channels, evaluated by the
+window-local UNet, and the results are folded back by taking each window's
+center frame plus the first/last window's flanks.  Capability parity with the
+reference's ``DefaultScoreFunction.unfold/fold`` (src/thor/score.py:63-93)
+and ``BatchedScoreFunction`` (src/thor/score.py:96-185).
+
+TPU-first redesign (not a translation):
+
+- The full trajectory stays in device HBM (a year of 4-var 128x128 hourly
+  fields is ~2.3 GB fp32) and windows are gathered on device inside a
+  jit-compiled ``lax.scan`` over window chunks.  The reference instead keeps
+  the sequence on host RAM and round-trips CPU<->GPU once per chunk
+  (src/thor/score.py:165-183) — those transfers are eliminated entirely.
+- The window-batch axis is embarrassingly parallel given x_t, so it can be
+  sharded over a mesh axis (see parallel/); chunking bounds peak memory to
+  one [chunk, H, W, w*C] activation set instead of the w-times-unfolded
+  trajectory.
+- Everything is shape-static: the number of windows is padded to a multiple
+  of the chunk size by clamping gather indices (duplicate evaluations of the
+  final window), and padded outputs are discarded in the fold.
+
+Layouts are NHWC: trajectory [L, H, W, C]; windows [N, H, W, w*C] with the
+last axis frame-major — (frame0 vars..., frame1 vars...) — matching the
+reference's ``unfold(0, w, 1).movedim(-1, 1).flatten(1, 2)`` channel order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def unfold_windows(x: jnp.ndarray, markov_order: int) -> jnp.ndarray:
+    """[L, H, W, C] -> [L-w+1, H, W, w*C] sliding windows (materializing).
+
+    Use only for short trajectories (training/validation); the chunked scan
+    in :class:`WindowScoreFn` avoids the w-fold memory blowup for long ones.
+    """
+    k = markov_order
+    w = 2 * k + 1
+    L, H, W, C = x.shape
+    n = L - w + 1
+    idx = jnp.arange(n)[:, None] + jnp.arange(w)[None, :]  # [n, w]
+    xw = jnp.take(x, idx, axis=0)  # [n, w, H, W, C]
+    xw = jnp.moveaxis(xw, 1, 3)  # [n, H, W, w, C]
+    return xw.reshape(n, H, W, w * C)
+
+
+def fold_windows(win_out: jnp.ndarray, markov_order: int) -> jnp.ndarray:
+    """[N, H, W, w*C] window outputs -> [L, H, W, C] trajectory.
+
+    Each window contributes its center frame; the first/last windows also
+    contribute their leading/trailing k frames (reference
+    src/thor/score.py:76-88).
+    """
+    k = markov_order
+    w = 2 * k + 1
+    n, H, W, wc = win_out.shape
+    C = wc // w
+    wo = win_out.reshape(n, H, W, w, C)
+    center = wo[:, :, :, k, :]  # [n, H, W, C]
+    if k == 0:
+        return center
+    first = jnp.moveaxis(wo[0, :, :, :k, :], 2, 0)  # [k, H, W, C]
+    last = jnp.moveaxis(wo[-1, :, :, w - k:, :], 2, 0)  # [k, H, W, C]
+    return jnp.concatenate([first, center, last], axis=0)
+
+
+class WindowScoreFn:
+    """Trajectory eps-model from a window-local network, evaluated in chunks.
+
+    ``apply_fn(params, windows, t)`` maps [B, H, W, w*C] windows at scalar
+    time ``t`` to predicted noise of the same shape.  ``__call__(x, t)`` maps
+    a full [L, H, W, C] trajectory to its composed eps prediction.
+
+    ``chunk_size=None`` evaluates all windows in one batch (the reference's
+    ``DefaultScoreFunction``); an integer bounds the window batch per step
+    (the reference's ``BatchedScoreFunction``, minus the host round-trips).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params,
+        markov_order: int,
+        chunk_size: Optional[int] = None,
+        remat: bool = False,
+    ):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.markov_order = int(markov_order)
+        self.chunk_size = chunk_size
+        self.remat = remat
+
+    @property
+    def window(self) -> int:
+        return 2 * self.markov_order + 1
+
+    def __call__(self, x: jnp.ndarray, t) -> jnp.ndarray:
+        k = self.markov_order
+        w = self.window
+        L = x.shape[0]
+        n = L - w + 1
+        assert n >= 1, f"trajectory length {L} shorter than window {w}"
+
+        if self.chunk_size is None or n <= self.chunk_size:
+            windows = unfold_windows(x, k)
+            out = self.apply_fn(self.params, windows, t)
+            return fold_windows(out, k)
+        return self._chunked(x, t)
+
+    # -- chunked evaluation (lax.scan over window chunks) ------------------
+    def _chunked(self, x: jnp.ndarray, t) -> jnp.ndarray:
+        k = self.markov_order
+        w = self.window
+        B = int(self.chunk_size)
+        L, H, W, C = x.shape
+        n = L - w + 1
+        n_chunks = -(-n // B)
+
+        eval_chunk = self.apply_fn
+        if self.remat:
+            eval_chunk = jax.checkpoint(eval_chunk)
+
+        def body(carry, chunk_idx):
+            centers, first_edge, last_edge = carry
+            # window indices for this chunk, clamped so padded lanes
+            # re-evaluate the final window (discarded below)
+            win_idx = jnp.clip(chunk_idx * B + jnp.arange(B), 0, n - 1)
+            frame_idx = win_idx[:, None] + jnp.arange(w)[None, :]  # [B, w]
+            xw = jnp.take(x, frame_idx, axis=0)  # [B, w, H, W, C]
+            xw = jnp.moveaxis(xw, 1, 3).reshape(B, H, W, w * C)
+            out = eval_chunk(self.params, xw, t)  # [B, H, W, w*C]
+            wo = out.reshape(B, H, W, w, C)
+            centers = jax.lax.dynamic_update_slice(
+                centers, wo[:, :, :, k, :], (chunk_idx * B, 0, 0, 0)
+            )
+            if k > 0:
+                fe = jnp.moveaxis(wo[0, :, :, :k, :], 2, 0)
+                le = jnp.moveaxis(wo[B - 1, :, :, w - k:, :], 2, 0)
+                is_first = chunk_idx == 0
+                is_last = chunk_idx == n_chunks - 1
+                first_edge = jnp.where(is_first, fe, first_edge)
+                last_edge = jnp.where(is_last, le, last_edge)
+            return (centers, first_edge, last_edge), None
+
+        centers0 = jnp.zeros((n_chunks * B, H, W, C), x.dtype)
+        edge0 = jnp.zeros((max(k, 1), H, W, C), x.dtype)
+        (centers, first_edge, last_edge), _ = jax.lax.scan(
+            body, (centers0, edge0, edge0), jnp.arange(n_chunks)
+        )
+        centers = centers[:n]
+        if k == 0:
+            return centers
+        return jnp.concatenate([first_edge, centers, last_edge], axis=0)
+
+
+def make_batched_eps_fn(apply_fn: Callable) -> Callable:
+    """Wrap a flax ``Module.apply``-style callable into the
+    ``(params, windows, t) -> eps`` signature used by :class:`WindowScoreFn`."""
+
+    def eps_fn(params, windows, t):
+        return apply_fn(params, windows, jnp.reshape(jnp.asarray(t), (-1,)))
+
+    return eps_fn

@@ -1,0 +1,313 @@
+"""Evaluation metrics: sliced Wasserstein, RAPSD, MELR, SSIM.
+
+Capability parity with the reference ``exp/metrics.py`` (exp/metrics.py:13-319),
+whose heavy lifting came from POT (sliced_wasserstein_distance), pysteps
+(rapsd) and skimage (structural_similarity) — none of which are installed in
+this image, so the algorithms are implemented here from their public
+definitions:
+
+- sliced Wasserstein-2 distance: mean over random 1-D projections of the
+  squared 1-D W2 between sorted projections, sqrt at the end (100
+  projections, fixed seed — matching POT's defaults used at
+  exp/metrics.py:18).
+- RAPSD: radially averaged power spectral density of a 2-D field with
+  integer-wavenumber annulus binning, optional normalization to unit total
+  power, and fftfreq-based frequency axis (the pysteps convention used at
+  exp/metrics.py:67-94).
+- MELR: mean |log(sample_psd / gt_psd)| over wavenumbers — uniform /
+  energy-weighted / max-energy variants, cached to npz
+  (exp/metrics.py:115-181).
+- SSIM: uniform-window (win=15) structural similarity with sample
+  covariance normalization, K1=0.01, K2=0.03 — the skimage semantics used
+  at exp/metrics.py:187-212.
+
+All metrics are computed per variable over sample ensembles on the
+observation time grid (exp/metrics.py:233-240).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# sliced Wasserstein
+
+
+def sliced_wasserstein_distance(
+    X: np.ndarray, Y: np.ndarray, n_projections: int = 100, seed: int = 0, p: int = 2
+) -> float:
+    """Sliced W_p between two point clouds X [n, d], Y [m, d]."""
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    d = X.shape[1]
+    rng = np.random.RandomState(seed)
+    proj = rng.normal(size=(d, n_projections))
+    proj /= np.linalg.norm(proj, axis=0, keepdims=True)
+    Xp = X @ proj  # [n, P]
+    Yp = Y @ proj  # [m, P]
+    Xp.sort(axis=0)
+    Yp.sort(axis=0)
+    if X.shape[0] != Y.shape[0]:
+        # quantile alignment for unequal sample counts
+        qs = (np.arange(max(X.shape[0], Y.shape[0])) + 0.5) / max(
+            X.shape[0], Y.shape[0]
+        )
+        Xp = np.stack([np.interp(qs, (np.arange(len(Xp)) + 0.5) / len(Xp), Xp[:, i]) for i in range(Xp.shape[1])], 1)
+        Yp = np.stack([np.interp(qs, (np.arange(len(Yp)) + 0.5) / len(Yp), Yp[:, i]) for i in range(Yp.shape[1])], 1)
+    cost = np.mean(np.abs(Xp - Yp) ** p, axis=0)  # [P]
+    return float(np.mean(cost) ** (1.0 / p))
+
+
+def compute_wasserstein_nd(
+    sample_fields: np.ndarray, gt_fields: np.ndarray, n_projections: int = 100
+) -> np.ndarray:
+    """Per-sample sliced W2 between flattened space-time point clouds.
+
+    ``sample_fields``: [S, T, H, W] ensemble; ``gt_fields``: [T, H, W].
+    Each time step is a point in R^(H*W) (reference exp/metrics.py:13-44).
+    """
+    S, T = sample_fields.shape[:2]
+    gt = gt_fields.reshape(T, -1)
+    out = np.zeros(S)
+    for s in range(S):
+        out[s] = sliced_wasserstein_distance(
+            sample_fields[s].reshape(T, -1), gt, n_projections=n_projections, seed=0
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RAPSD
+
+
+def rapsd(field: np.ndarray, d: float = 1.0, normalize: bool = True):
+    """Radially averaged power spectral density of a square 2-D field.
+
+    Returns (psd [L//2], freq [L//2]) following the pysteps convention:
+    annulus r=0 is the DC bin; bin i collects wavenumbers with radius in
+    [i - 0.5, i + 0.5); frequencies are fftfreq(L, d)[:L//2].
+    """
+    field = np.asarray(field, np.float64)
+    L = field.shape[0]
+    assert field.shape == (L, L), "rapsd expects a square field"
+    F = np.fft.fftshift(np.fft.fft2(field))
+    psd2 = np.abs(F) ** 2 / (L * L)
+
+    yc, xc = L // 2, L // 2
+    yy, xx = np.indices((L, L))
+    r = np.sqrt((yy - yc) ** 2 + (xx - xc) ** 2)
+    n_bins = L // 2
+    psd = np.zeros(n_bins)
+    for i in range(n_bins):
+        mask = (r >= i - 0.5) & (r < i + 0.5) if i > 0 else r < 0.5
+        vals = psd2[mask]
+        psd[i] = vals.mean() if vals.size else 0.0
+    if normalize:
+        total = psd.sum()
+        if total > 0:
+            psd = psd / total
+    freq = np.fft.fftfreq(L, d=d)[:n_bins]
+    freq[0] = 0.0
+    return psd, freq
+
+
+def rapsd_over_time(
+    sample_fields: np.ndarray,
+    gt_fields: np.ndarray,
+    obs_fields: Optional[np.ndarray] = None,
+    d: float = 6.0,
+    obs_d_factor: float = 16.0,
+) -> Dict[str, np.ndarray]:
+    """RAPSD time series for an ensemble, its ground truth, and (optionally)
+    the coarse observation (reference exp/metrics.py:50-112; d=6 km grid,
+    obs at 16x coarser spacing)."""
+    S, T = sample_fields.shape[:2]
+    sample_psd = []
+    gt_psd = []
+    for t in range(T):
+        sample_psd.append(
+            np.stack([rapsd(sample_fields[s, t], d=d)[0] for s in range(S)])
+        )
+        psd, freq = rapsd(gt_fields[t], d=d)
+        gt_psd.append(psd)
+    out = dict(
+        sample_rapsd_over_time=np.stack(sample_psd, axis=1),  # [S, T, K]
+        gt_rapsd_over_time=np.stack(gt_psd),  # [T, K]
+        wavelengths=1.0 / np.maximum(freq, 1e-12),
+    )
+    if obs_fields is not None:
+        obs_psd = []
+        for t in range(min(T, obs_fields.shape[0])):
+            opsd, ofreq = rapsd(obs_fields[t], d=d * obs_d_factor)
+            obs_psd.append(opsd)
+        out["obs_rapsd_over_time"] = np.stack(obs_psd)
+        out["obs_wavelengths"] = 1.0 / np.maximum(ofreq, 1e-12)
+    return out
+
+
+def melr(
+    sample_rapsd_over_time: np.ndarray,
+    gt_rapsd_over_time: np.ndarray,
+    do_weighted: bool = False,
+    do_max: bool = False,
+    skip_dc: bool = True,
+) -> np.ndarray:
+    """Mean (over time) error in log ratio of spectra, per sample
+    (reference exp/metrics.py:115-181).  Returns [S]."""
+    assert int(do_weighted) + int(do_max) < 2
+    S, T, K = sample_rapsd_over_time.shape
+    assert gt_rapsd_over_time.shape == (T, K)
+    k0 = 1 if skip_dc else 0
+    sp = sample_rapsd_over_time[..., k0:]
+    gp = gt_rapsd_over_time[..., k0:]
+    log_ratio = np.abs(np.log(sp / gp[None]))  # [S, T, K']
+    if do_max:
+        idx = np.argmax(gp, axis=-1)  # [T]
+        vals = log_ratio[:, np.arange(T), idx]
+    elif do_weighted:
+        w = gp / gp.sum(axis=-1, keepdims=True)
+        vals = (log_ratio * w[None]).sum(-1)
+    else:
+        vals = log_ratio.mean(-1)
+    return vals.mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# SSIM
+
+
+def ssim2d(
+    a: np.ndarray,
+    b: np.ndarray,
+    data_range: float,
+    win_size: int = 15,
+    K1: float = 0.01,
+    K2: float = 0.03,
+) -> float:
+    """Mean SSIM between two 2-D fields with a uniform window and sample
+    covariance, cropped to valid windows (skimage semantics)."""
+    from scipy.ndimage import uniform_filter
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    NP = win_size**2
+    cov_norm = NP / (NP - 1)
+    filt = lambda x: uniform_filter(x, size=win_size)
+    ua, ub = filt(a), filt(b)
+    uaa, ubb, uab = filt(a * a), filt(b * b), filt(a * b)
+    va = cov_norm * (uaa - ua * ua)
+    vb = cov_norm * (ubb - ub * ub)
+    vab = cov_norm * (uab - ua * ub)
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    num = (2 * ua * ub + C1) * (2 * vab + C2)
+    den = (ua**2 + ub**2 + C1) * (va + vb + C2)
+    s = num / den
+    pad = (win_size - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+def ssim_ensemble(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarray:
+    """Per-sample mean-over-time SSIM with the shared ensemble/gt data range
+    (reference exp/metrics.py:187-212)."""
+    S, T = sample_fields.shape[:2]
+    data_range = float(
+        max(gt_fields.max(), sample_fields.max())
+        - min(gt_fields.min(), sample_fields.min())
+    )
+    out = np.zeros((S, T))
+    for s in range(S):
+        for t in range(T):
+            out[s, t] = ssim2d(sample_fields[s, t], gt_fields[t], data_range)
+    return out.mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# experiment driver
+
+
+def run(exp_dir: str) -> dict:
+    """Compute all paper metrics for an experiment directory and pickle them
+    to <exp_dir>/metrics/run/metrics.pickle (reference exp/metrics.py:219-296)."""
+    from climate2weather_tpu.exp import exputil
+
+    exp_dir = pathlib.Path(exp_dir)
+    print(f"Running metrics on experiment {exp_dir}")
+    out_dir = exp_dir / "metrics"
+    out_dir.mkdir(exist_ok=True)
+    save_path = out_dir / "run"
+    save_path.mkdir(exist_ok=True)
+
+    sample_ds, gt_ds, obs_ds = exputil.setup(str(exp_dir))
+    # Compare on the observation time grid only (only this method downscales
+    # temporally; reference exp/metrics.py:233-240)
+    obs_times = obs_ds.time
+    gt_on_obs = _sel_times(gt_ds, obs_times)
+    feature_names = sorted(gt_ds.data_vars)
+
+    metrics: dict = {"wasserstein": {}, "melr": {}, "ssim": {}}
+    rapsd_dir = out_dir / "rapsd"
+    rapsd_dir.mkdir(exist_ok=True)
+
+    for v in feature_names:
+        gt_da = gt_on_obs.data_vars[v]  # [T, H, W]
+        samples = np.stack(
+            [_sel_times(sd, obs_times).data_vars[v] for sd in sample_ds]
+        )  # [S, T, H, W]
+
+        gtmean, gtstd = gt_da.mean(), gt_da.std()
+        metrics["wasserstein"][v] = {
+            "global": compute_wasserstein_nd(
+                (samples - gtmean) / gtstd, (gt_da - gtmean) / gtstd
+            )
+        }
+
+        cache = rapsd_dir / f"{v}_rapsd.npz"
+        if cache.exists():
+            r = dict(np.load(cache))
+        else:
+            r = rapsd_over_time(samples, gt_da, obs_ds.data_vars[v])
+            np.savez(cache, **r)
+        metrics["melr"][v] = {
+            "global": melr(r["sample_rapsd_over_time"], r["gt_rapsd_over_time"])
+        }
+        metrics["ssim"][v] = {"global": ssim_ensemble(samples, gt_da)}
+
+    for metrictype in metrics:
+        for var in feature_names:
+            for k, val in metrics[metrictype][var].items():
+                print(
+                    f"{metrictype} {var} {k}: "
+                    f"{np.mean(val):.4f} \\pm {np.std(val):.4f}"
+                )
+
+    with open(save_path / "metrics.pickle", "wb") as f:
+        pickle.dump(metrics, f)
+    return metrics
+
+
+def _sel_times(ds, times):
+    sel = np.isin(ds.time, times)
+    return ds.isel_time(np.nonzero(sel)[0])
+
+
+def load(exp_dir: str) -> dict:
+    """Pretty-print a previously computed metrics pickle
+    (reference exp/metrics.py:299-319)."""
+    path = pathlib.Path(exp_dir) / "metrics" / "run" / "metrics.pickle"
+    with open(path, "rb") as f:
+        metrics = pickle.load(f)
+    for metrictype, by_var in metrics.items():
+        print(metrictype)
+        for var, entries in by_var.items():
+            print(f"  {var}")
+            for k, v in entries.items():
+                print(f"    {np.mean(v):.4f} \\pm {np.std(v):.4f}")
+        print()
+    return metrics

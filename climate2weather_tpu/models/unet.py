@@ -1,0 +1,194 @@
+"""Modulated UNet backbone — TPU-native (NHWC, bf16 compute, fp32 params).
+
+Capability parity with the reference UNet (model/nn.py:88-242):
+
+- per level: a head (3x3 conv at level 0, strided 3x3 conv below), then
+  ``hidden_blocks[i]`` modulated residual blocks (optionally interleaved with
+  attention blocks at ``attention_levels``); additive skip connections via a
+  stack, popped during ascent; tails are LayerNorm -> nearest-upsample ->
+  3x3 conv (plain 3x3 conv at level 0).
+- ModResidualBlock (model/nn.py:18-28): ``x + residue(x + project(emb))``
+  with project = Linear(mod_features -> C) broadcast over space and
+  residue = ChannelNorm -> conv -> SiLU -> conv.
+- AttentionBlock (model/nn.py:31-85): single-head full self-attention over
+  flattened spatial positions, sqrt(sqrt(ch)) pre-scaling and fp32 softmax.
+
+TPU-first design decisions (deliberately not a translation):
+
+- NHWC layout end-to-end: channels ride the 128-wide lane dimension, so
+  convolutions tile directly onto the MXU and the channel-wise norm is a
+  lane-local reduction.
+- compute dtype is configurable (bf16 by default) while parameters stay
+  fp32; normalization statistics and softmax always run in fp32.
+- nearest-neighbour upsampling is a reshape-broadcast (no gather).
+- channel norm is non-learnable standardization over the channel axis,
+  mirroring the reference's zuko ``LayerNorm(-(spatial+1))``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def channel_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Standardize over the channel (last) axis without learnable parameters.
+
+    Statistics are computed in fp32 and the result is cast back to ``x.dtype``
+    (reference: zuko LayerNorm used at model/nn.py:154,183).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class ModResidualBlock(nn.Module):
+    """``x + residue(x + project(emb))`` (reference model/nn.py:18-28,146-159)."""
+
+    channels: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = [(k // 2, k // 2)] * 2
+        # project: Linear(mod_features -> C), broadcast over H, W
+        proj = nn.Dense(self.channels, dtype=self.dtype, name="project")(emb)
+        h = x + proj[:, None, None, :]
+        h = channel_norm(h)
+        h = nn.Conv(self.channels, (k, k), padding=pad, dtype=self.dtype, name="conv0")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (k, k), padding=pad, dtype=self.dtype, name="conv1")(h)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Full self-attention over flattened spatial positions.
+
+    Single head by default; fp32 softmax with sqrt(sqrt(ch)) scaling applied
+    to both q and k before the product for low-precision stability
+    (reference model/nn.py:31-85).
+    """
+
+    channels: int
+    num_heads: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        t = hgt * wid
+        h = x.reshape(b, t, c)
+        h_norm = channel_norm(h)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h_norm)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, c // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, t, heads, ch]
+        ch = c // self.num_heads
+        scale = ch ** (-0.25)
+        logits = jnp.einsum(
+            "bthc,bshc->bhts",
+            (q * scale).astype(jnp.float32),
+            (k * scale).astype(jnp.float32),
+        )
+        weights = nn.softmax(logits, axis=-1)  # logits already fp32
+        out = jnp.einsum("bhts,bshc->bthc", weights.astype(v.dtype), v)
+        out = out.reshape(b, t, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
+        return ((h + out)).reshape(b, hgt, wid, c)
+
+
+class UNet(nn.Module):
+    """Modulated N-level UNet (2-D spatial), NHWC.
+
+    Arguments mirror the reference constructor (model/nn.py:108-218); the
+    production architecture is configs/sda_unet.yml: hidden_channels
+    (128,128,256,384,512), 3 blocks/level, attention at level 4, 3x3 kernels,
+    stride 2, SiLU.
+    """
+
+    out_channels: int
+    mod_features: int
+    hidden_channels: Sequence[int] = (32, 64, 128)
+    hidden_blocks: Sequence[int] = (2, 3, 5)
+    attention_levels: Sequence[int] = ()
+    kernel_size: int = 3
+    stride: int = 2
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        nlev = len(self.hidden_blocks)
+        k = self.kernel_size
+        pad = [(k // 2, k // 2)] * 2
+        s = self.stride
+        emb = emb.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        def level_blocks(i: int, stage: str):
+            blocks = []
+            for bi in range(self.hidden_blocks[i]):
+                blocks.append(
+                    ModResidualBlock(
+                        self.hidden_channels[i],
+                        kernel_size=k,
+                        dtype=self.dtype,
+                        name=f"{stage}{i}_block{bi}",
+                    )
+                )
+                if i in self.attention_levels:
+                    blocks.append(
+                        AttentionBlock(
+                            self.hidden_channels[i],
+                            dtype=self.dtype,
+                            name=f"{stage}{i}_attn{bi}",
+                        )
+                    )
+            return blocks
+
+        # ---- descent -----------------------------------------------------
+        memory = []
+        for i in range(nlev):
+            if i == 0:
+                x = nn.Conv(
+                    self.hidden_channels[0], (k, k), padding=pad,
+                    dtype=self.dtype, name="head0",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.hidden_channels[i], (k, k), strides=(s, s), padding=pad,
+                    dtype=self.dtype, name=f"head{i}",
+                )(x)
+            for block in level_blocks(i, "down"):
+                x = block(x, emb) if isinstance(block, ModResidualBlock) else block(x)
+            memory.append(x)
+        memory.pop()
+
+        # ---- ascent ------------------------------------------------------
+        for i in reversed(range(nlev)):
+            for block in level_blocks(i, "up"):
+                x = block(x, emb) if isinstance(block, ModResidualBlock) else block(x)
+            if i > 0:
+                x = channel_norm(x)
+                # nearest-neighbour upsample as reshape-broadcast
+                b, hh, ww, c = x.shape
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :], (b, hh, s, ww, s, c)
+                ).reshape(b, hh * s, ww * s, c)
+                x = nn.Conv(
+                    self.hidden_channels[i - 1], (k, k), padding=pad,
+                    dtype=self.dtype, name=f"tail{i}",
+                )(x)
+                x = x + memory.pop()
+            else:
+                x = nn.Conv(
+                    self.out_channels, (k, k), padding=pad,
+                    dtype=self.dtype, name="tail0",
+                )(x)
+        return x

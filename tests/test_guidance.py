@@ -1,0 +1,95 @@
+"""Likelihood guidance: analytic adjoint vs autodiff; operator adjoint test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climate2weather_tpu.diffusion import (
+    GaussianGuidance,
+    SpatioTemporalCoarsening,
+    VPCosineProcess,
+)
+from climate2weather_tpu.diffusion.guidance import per_channel
+
+
+def test_coarsening_forward_shapes():
+    A = SpatioTemporalCoarsening(s_step=4, t_step=3)
+    x = jnp.ones((12, 16, 16, 2))
+    y = A(x)
+    assert y.shape == (4, 4, 4, 2)
+    np.testing.assert_allclose(y, 1.0)
+
+
+def test_coarsening_adjoint_identity():
+    # <A x, v> == <x, A^T v> for random x, v — the defining adjoint property
+    A = SpatioTemporalCoarsening(s_step=4, t_step=3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(12, 16, 16, 2).astype(np.float32))
+    v = jnp.asarray(rng.randn(4, 4, 4, 2).astype(np.float32))
+    lhs = jnp.sum(A(x) * v)
+    rhs = jnp.sum(x * A.adjoint(v, out_len=12))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_adjoint_matches_vjp():
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(7, 8, 8, 3).astype(np.float32))
+    v = jnp.asarray(rng.randn(4, 4, 4, 3).astype(np.float32))
+    _, vjp = jax.vjp(A.__call__, x)
+    (want,) = vjp(v)
+    got = A.adjoint(v, out_len=7)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_analytic_guidance_matches_autodiff_detached():
+    """The production (detached) analytic path must equal autodiff through the
+    linear x0 map with eps detached — the reference's exact_grad=False
+    semantics (src/thor/score.py:48-57)."""
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(0)
+    L, H, W, C = 6, 8, 8, 2
+    x = jax.random.normal(rng, (L, H, W, C))
+    y = jax.random.normal(jax.random.fold_in(rng, 1), (3, 4, 4, C))
+    std = per_channel([0.2, 0.3], C)
+    gamma = 7e-4
+    t = jnp.float32(0.37)
+
+    # a fixed nonlinear "score" — deterministic stand-in for the UNet
+    def score_fn(xx, tt):
+        return jnp.tanh(xx) * 0.5
+
+    g = GaussianGuidance(A=A, y=y, std=std, gamma=gamma, exact_grad=False)
+    got = g.guided_eps(score_fn, proc, x, t)
+
+    # autodiff reference of the same (detached) objective
+    eps = score_fn(x, t)
+    mu, sigma = proc.mu(t), proc.sigma(t)
+    var = std**2 + gamma * (sigma / mu) ** 2
+
+    def log_p(xx):
+        x0 = (xx - sigma * jax.lax.stop_gradient(eps)) / mu
+        err = y - A(x0)
+        return -jnp.sum(err**2 / var) / 2.0
+
+    want = eps - sigma * jax.grad(log_p)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_exact_grad_path_runs_and_differs():
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.normal(rng, (6, 8, 8, 2))
+    y = jax.random.normal(jax.random.fold_in(rng, 2), (3, 4, 4, 2))
+
+    def score_fn(xx, tt):
+        return jnp.tanh(xx) * 0.5  # nonlinear => exact grad differs
+
+    g_det = GaussianGuidance(A=A, y=y, std=0.1, gamma=1e-3, exact_grad=False)
+    g_ex = GaussianGuidance(A=A, y=y, std=0.1, gamma=1e-3, exact_grad=True)
+    e1 = g_det.guided_eps(score_fn, proc, x, jnp.float32(0.5))
+    e2 = g_ex.guided_eps(score_fn, proc, x, jnp.float32(0.5))
+    assert e1.shape == e2.shape == x.shape
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
