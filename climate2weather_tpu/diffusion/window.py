@@ -91,12 +91,18 @@ class WindowScoreFn:
         markov_order: int,
         chunk_size: Optional[int] = None,
         remat: bool = False,
+        window_sharding=None,
     ):
         self.apply_fn = apply_fn
         self.params = params
         self.markov_order = int(markov_order)
         self.chunk_size = chunk_size
         self.remat = remat
+        # Optional NamedSharding for the window-batch axis: constrains each
+        # gathered chunk to shard over the mesh so the UNet evaluation runs
+        # sequence-parallel over ICI (the TPU answer to the reference's
+        # CPU<->GPU window streaming).
+        self.window_sharding = window_sharding
 
     @property
     def window(self) -> int:
@@ -111,9 +117,17 @@ class WindowScoreFn:
 
         if self.chunk_size is None or n <= self.chunk_size:
             windows = unfold_windows(x, k)
-            out = self.apply_fn(self.params, windows, t)
+            windows = self._constrain(windows)
+            # cast back to the trajectory dtype: the net may compute in bf16
+            # but schedule math downstream runs at the trajectory's precision
+            out = self.apply_fn(self.params, windows, t).astype(x.dtype)
             return fold_windows(out, k)
         return self._chunked(x, t)
+
+    def _constrain(self, windows):
+        if self.window_sharding is not None:
+            windows = jax.lax.with_sharding_constraint(windows, self.window_sharding)
+        return windows
 
     # -- chunked evaluation (lax.scan over window chunks) ------------------
     def _chunked(self, x: jnp.ndarray, t) -> jnp.ndarray:
@@ -136,7 +150,8 @@ class WindowScoreFn:
             frame_idx = win_idx[:, None] + jnp.arange(w)[None, :]  # [B, w]
             xw = jnp.take(x, frame_idx, axis=0)  # [B, w, H, W, C]
             xw = jnp.moveaxis(xw, 1, 3).reshape(B, H, W, w * C)
-            out = eval_chunk(self.params, xw, t)  # [B, H, W, w*C]
+            xw = self._constrain(xw)
+            out = eval_chunk(self.params, xw, t).astype(x.dtype)  # [B, H, W, w*C]
             wo = out.reshape(B, H, W, w, C)
             centers = jax.lax.dynamic_update_slice(
                 centers, wo[:, :, :, k, :], (chunk_idx * B, 0, 0, 0)

@@ -1,0 +1,282 @@
+"""Guided downscaling driver — posterior sampling of weather trajectories
+conditioned on coarse climate fields.
+
+Capability parity with the reference ``exp/downscaling.py`` (the ``predict``
+entry point, exp/downscaling.py:18-287):
+
+- YAML config + CLI kwarg overrides, numbered save subdirectories,
+  ``config_freeze.yaml``
+- snapshot loading (markov order from the stored dataset window)
+- observation operator A = AvgPool(s_step) after ::t_step subsampling
+- three conditioning modes: none / self-observation of the ground truth /
+  external observation file (e.g. CMIP6 runs), with per-channel
+  likelihood std/gamma
+- sample sharding across processes; ``ground_truth.nc`` / ``observation.nc``
+  / ``gen_sample_{id:03d}.nc`` outputs after de-normalization
+- ``sweep_likelihood_hparams`` random log-space search over (sigma, gamma)
+
+TPU-first: the whole trajectory stays in HBM; the PC sampler is one
+jit-compiled scan whose score evaluation runs chunked (and optionally
+sequence-parallel over the mesh) — no host round-trips per chunk; the
+production detached-guidance mode uses the analytic adjoint (see
+diffusion/guidance.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from datetime import datetime
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import yaml
+
+from climate2weather_tpu.data import pipeline as data_pipeline
+from climate2weather_tpu.diffusion.guidance import (
+    GaussianGuidance,
+    SpatioTemporalCoarsening,
+    per_channel,
+)
+from climate2weather_tpu.diffusion.sampler import sample as pc_sample
+from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
+from climate2weather_tpu.models.score_net import build_score_unet
+from climate2weather_tpu.training.checkpoint import load_snapshot
+from climate2weather_tpu.utils.registry import construct_class_by_name
+from climate2weather_tpu.utils.seeding import derive_seed, set_random_seed
+
+
+def run(
+    save_path: str,
+    config_path: str,
+    **kwargs,
+):
+    """Load a YAML experiment config (reference exp/configs/** surface),
+    apply overrides, create the numbered save dir, and run."""
+    import jax
+
+    config_path = pathlib.Path(config_path)
+    save_path = pathlib.Path(save_path)
+
+    if save_path.exists():
+        subdir_i = len([s for s in save_path.iterdir() if s.is_dir()]) + 1
+    else:
+        subdir_i = 1
+    save_path = save_path / f"{subdir_i:03d}_{config_path.stem}"
+
+    if not (config_path.exists() and config_path.suffix.lower() in (".yaml", ".yml")):
+        raise FileNotFoundError(f"Config file not found: {config_path}")
+
+    with open(config_path) as f:
+        config = yaml.safe_load(f)
+
+    for k, v in config.items():
+        if k in kwargs and kwargs[k] is not None:
+            print(f">>> CONFIG: Overwriting value for {k}: {v} -> {kwargs[k]}")
+            config[k] = kwargs[k]
+
+    if jax.process_index() == 0:
+        save_path.mkdir(parents=True, exist_ok=False)
+        with open(save_path / "config_freeze.yaml", "w") as f:
+            yaml.safe_dump(config, f)
+
+    _run_impl(save_path=save_path, **config)
+    print("Done. \n")
+    return save_path
+
+
+def _run_impl(
+    save_path: pathlib.Path,
+    model_path: str,
+    data_path: str,
+    quantile_path: str,
+    start_time: str,
+    num_hours: int,
+    data_norm_mode: str,
+    use_exact_grad: bool = False,
+    observation_path: Optional[str] = None,
+    data_vars: Sequence[str] = ("psl", "tas", "uas", "vas"),
+    num_sampling_steps: int = 256,
+    num_samples: int = 1,
+    num_corrections: int = 2,
+    likelihood_std: Union[float, Sequence[float]] = 1e-2,
+    likelihood_gamma: Union[float, Sequence[float]] = 1e-2,
+    correction_tau: float = 0.5,
+    seed: int = 0,
+    t_step: int = 6,
+    s_step: int = 16,
+    batch_size: int = 16,
+):
+    import jax
+    import jax.numpy as jnp
+
+    run_timestamp = datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    world_size = jax.process_count()
+    rank = jax.process_index()
+    assert num_samples % world_size == 0, "num_samples must be divisible by world_size"
+    num_samples_local = num_samples // world_size
+
+    data_vars = sorted(data_vars)
+    set_random_seed(seed, rank)
+
+    print(f"STARTING DOWNSCALING AT {run_timestamp} >>>")
+    print(f"Running on {world_size} process(es), {jax.device_count()} device(s)")
+    print(f"Saving results to {save_path}")
+
+    # -- snapshot ----------------------------------------------------------
+    params, snap_config = load_snapshot(model_path)
+    markov_window = snap_config["dataset_kwargs"]["train"]["window"]
+    markov_order = markov_window // 2
+    print(
+        f"Loading score network from {model_path}\n"
+        f" >  trained on window size: {markov_window}, order: {markov_order}"
+    )
+    net = build_score_unet(snap_config["network_kwargs"], dtype=jnp.bfloat16)
+    process = construct_class_by_name(**snap_config["pipeline_kwargs"])
+
+    # -- observation operator ---------------------------------------------
+    A = SpatioTemporalCoarsening(s_step=s_step, t_step=t_step)
+
+    # -- ground truth ------------------------------------------------------
+    unnormed_cosmo = data_pipeline.load_processed(
+        data_path, data_vars, start_time, num_hours
+    )
+    if rank == 0:
+        unnormed_cosmo.to_file(os.path.join(save_path, "ground_truth.nc"))
+
+    cosmo = data_pipeline.normalize_ds(unnormed_cosmo, quantile_path, data_norm_mode)
+    gt_lchw = data_pipeline.ds_to_sorted_np(cosmo, data_vars)  # [L, C, H, W]
+    gt = jnp.asarray(data_pipeline.nchw_to_nhwc(gt_lchw))  # [L, H, W, C]
+    L, H, W, C = gt.shape
+
+    # -- observation (3 conditioning modes) --------------------------------
+    do_condition = True
+    observation = None
+    if observation_path is None:
+        do_condition = False
+        print("No observation provided. Sampling without conditioning.")
+    elif observation_path == data_path:
+        print(f"Conditioning on observations of the ground truth at {observation_path}")
+        observation = A(gt)
+        observation_ds = cosmo.coarsen_mean(s_step).isel_time(
+            np.arange(0, num_hours, t_step)
+        )
+    else:
+        print(f"Conditioning on provided observation at {observation_path}")
+        observation_ds = data_pipeline.load_processed(
+            observation_path, data_vars, start_time, num_hours
+        )
+        observation_ds = data_pipeline.normalize_ds(
+            observation_ds, quantile_path, data_norm_mode
+        )
+        obs_lchw = data_pipeline.ds_to_sorted_np(observation_ds, data_vars)
+        observation = jnp.asarray(data_pipeline.nchw_to_nhwc(obs_lchw))
+
+    if do_condition and rank == 0:
+        data_pipeline.unnormalize_ds(
+            observation_ds, quantile_path, data_norm_mode
+        ).to_file(os.path.join(save_path, "observation.nc"))
+
+    # -- score function + guidance -----------------------------------------
+    score = WindowScoreFn(
+        make_batched_eps_fn(net.apply),
+        params,
+        markov_order,
+        chunk_size=batch_size,
+    )
+    if do_condition:
+        print(f"Observation shape: {observation.shape}")
+        sigma = per_channel(
+            likelihood_std if not np.isscalar(likelihood_std) else float(likelihood_std),
+            C,
+        )
+        gamma = per_channel(
+            likelihood_gamma
+            if not np.isscalar(likelihood_gamma)
+            else float(likelihood_gamma),
+            C,
+        )
+        guidance = GaussianGuidance(
+            A=A,
+            y=observation,
+            std=sigma,
+            gamma=gamma,
+            exact_grad=use_exact_grad,
+        )
+        score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
+    else:
+        score_fn = score
+
+    # -- compile once, sample the local shard ------------------------------
+    @jax.jit
+    def sample_one(noise, rng):
+        return pc_sample(
+            process,
+            score_fn,
+            noise,
+            steps=num_sampling_steps,
+            corrections=num_corrections,
+            tau=correction_tau,
+            rng=rng,
+        )
+
+    print("Starting sampling...")
+    for nsmpl in range(num_samples_local):
+        sample_id = rank * num_samples_local + nsmpl
+        print(f"[Rank {rank}] Generating sample {sample_id}...")
+        key = jax.random.PRNGKey(derive_seed(seed, "sample", sample_id))
+        nkey, skey = jax.random.split(key)
+        noise = jax.random.normal(nkey, (L, H, W, C), jnp.float32)
+        import time as _time
+
+        t0 = _time.time()
+        gen, nan_flag = sample_one(noise, skey)
+        gen = np.asarray(jax.device_get(gen), np.float32)
+        total = _time.time() - t0
+        print(
+            f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "
+            f"= {total / 3600:.4f} h"
+        )
+        if bool(jax.device_get(nan_flag)):
+            raise FloatingPointError("NaN detected in sample")
+
+        sample_ds = data_pipeline.np_to_ds(
+            data_pipeline.nhwc_to_nchw(gen), reference_ds=cosmo, data_vars=data_vars
+        )
+        sample_ds = data_pipeline.unnormalize_ds(
+            sample_ds, quantile_path, data_norm_mode
+        )
+        sample_ds.to_file(str(save_path / f"gen_sample_{sample_id:03d}.nc"))
+
+    print(f"Saved results to {save_path}")
+    return save_path
+
+
+def sweep_likelihood_hparams(
+    save_path: str, config_path: str, trials: int, base_seed: int = 99
+):
+    """Random log-space search over per-channel sigma and scalar gamma
+    (reference exp/downscaling.py:290-321)."""
+    set_random_seed(base_seed, 0)
+    sigma_dist = np.logspace(-4, 0.2, 100)
+    gamma_dist = np.logspace(-4, 0.2, 100)
+
+    for n in range(1, trials + 1):
+        set_random_seed(base_seed, n)
+        sigma_draw = np.random.choice(sigma_dist, size=3, replace=True)
+        cur_sigma = tuple([float(s) for s in sigma_draw] + [float(sigma_draw[-1])])
+        cur_gamma = float(np.random.choice(gamma_dist))
+        print(f"Trial {n}: sigma = {cur_sigma}, gamma = {cur_gamma}")
+        try:
+            run(
+                save_path=save_path,
+                config_path=config_path,
+                likelihood_std=cur_sigma,
+                likelihood_gamma=cur_gamma,
+                num_samples=10,
+                num_hours=49,
+                num_corrections=0,
+                seed=base_seed,
+            )
+        except Exception as e:
+            print(f"Trial {n} failed: {e}")

@@ -1,0 +1,185 @@
+"""Evaluation figures (matplotlib; cartopy map overlays gated on import).
+
+Capability parity targets from the reference ``exp/figures.py`` (2077 lines,
+paper-specific): distributional KDE/PMF comparisons (:23), time series
+(:280), storm snapshot grids (:501), spectra.  The reference's cartopy
+rotated-pole map rendering and windpower conversion live in
+``plotting_util.py`` / ``windpower.py`` here.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional
+
+import numpy as np
+
+from climate2weather_tpu.data.grid import GridDataset
+from climate2weather_tpu.exp import exputil
+from climate2weather_tpu.exp.metrics import rapsd
+
+VAR2NAME = {
+    "psl": ("Sea-level pressure", "hPa"),
+    "tas": ("2m temperature", "K"),
+    "uas": ("10m U wind", "m/s"),
+    "vas": ("10m V wind", "m/s"),
+}
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def kde_and_pmf(samples: List[GridDataset], gt: GridDataset, out_dir: str) -> str:
+    """Per-variable value-distribution comparison: ensemble vs ground truth
+    (reference exp/figures.py:23)."""
+    plt = _plt()
+    names = gt.var_names()
+    fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3))
+    for ax, v in zip(np.atleast_1d(axes), names):
+        gt_vals = gt.data_vars[v].ravel()
+        s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
+        lo = min(gt_vals.min(), s_vals.min())
+        hi = max(gt_vals.max(), s_vals.max())
+        bins = np.linspace(lo, hi, 80)
+        ax.hist(gt_vals, bins=bins, density=True, alpha=0.5, label="ground truth")
+        ax.hist(s_vals, bins=bins, density=True, alpha=0.5, label="samples")
+        name, unit = VAR2NAME.get(v, (v, ""))
+        ax.set_title(f"{name} [{unit}]")
+        ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "kde_and_pmf.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def timeseries(
+    samples: List[GridDataset], gt: GridDataset, obs: GridDataset, out_dir: str
+) -> str:
+    """Spatial-mean time series with ensemble spread vs gt vs obs
+    (reference exp/figures.py:280)."""
+    plt = _plt()
+    names = gt.var_names()
+    fig, axes = plt.subplots(len(names), 1, figsize=(10, 2.5 * len(names)), sharex=True)
+    t_gt = gt.time.astype("datetime64[s]")
+    for ax, v in zip(np.atleast_1d(axes), names):
+        ens = np.stack([s.data_vars[v].mean(axis=(1, 2)) for s in samples])
+        ax.fill_between(
+            t_gt[: ens.shape[1]],
+            ens.min(0),
+            ens.max(0),
+            alpha=0.3,
+            label="ensemble range",
+        )
+        ax.plot(t_gt[: ens.shape[1]], ens.mean(0), lw=1, label="ensemble mean")
+        ax.plot(t_gt, gt.data_vars[v].mean(axis=(1, 2)), "k-", lw=1, label="gt")
+        ax.plot(
+            obs.time.astype("datetime64[s]"),
+            obs.data_vars[v].mean(axis=(1, 2)),
+            "r.",
+            ms=4,
+            label="obs",
+        )
+        name, unit = VAR2NAME.get(v, (v, ""))
+        ax.set_ylabel(f"{name}\n[{unit}]")
+    np.atleast_1d(axes)[0].legend(ncol=4, fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "timeseries.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def storm_grid(
+    samples: List[GridDataset],
+    gt: GridDataset,
+    obs: GridDataset,
+    out_dir: str,
+    var: str = "uas",
+    n_times: int = 6,
+) -> str:
+    """Snapshot grid: obs / gt / first samples across selected times
+    (reference exp/figures.py:501)."""
+    plt = _plt()
+    T = gt.sizes["time"]
+    t_idx = np.linspace(0, T - 1, n_times).astype(int)
+    rows = 2 + min(len(samples), 3)
+    fig, axes = plt.subplots(rows, n_times, figsize=(2 * n_times, 2 * rows))
+    vmin = gt.data_vars[var].min()
+    vmax = gt.data_vars[var].max()
+    obs_times = obs.time
+    for j, ti in enumerate(t_idx):
+        oi = int(np.argmin(np.abs(obs_times - gt.time[ti])))
+        axes[0, j].imshow(obs.data_vars[var][oi], vmin=vmin, vmax=vmax)
+        axes[1, j].imshow(gt.data_vars[var][ti], vmin=vmin, vmax=vmax)
+        for r in range(rows - 2):
+            axes[2 + r, j].imshow(samples[r].data_vars[var][ti], vmin=vmin, vmax=vmax)
+        axes[0, j].set_title(str(gt.time[ti].astype("datetime64[h]")), fontsize=7)
+    for ax in axes.ravel():
+        ax.set_xticks([])
+        ax.set_yticks([])
+    labels = ["obs", "gt"] + [f"sample {r}" for r in range(rows - 2)]
+    for r, lab in enumerate(labels):
+        axes[r, 0].set_ylabel(lab)
+    fig.tight_layout()
+    path = os.path.join(out_dir, f"storm_grid_{var}.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def rapsd_figure(
+    samples: List[GridDataset], gt: GridDataset, out_dir: str, d: float = 6.0
+) -> str:
+    """Mean radially averaged power spectra, ensemble vs ground truth."""
+    plt = _plt()
+    names = gt.var_names()
+    fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3))
+    T = gt.sizes["time"]
+    t_idx = np.linspace(0, T - 1, min(T, 16)).astype(int)
+    for ax, v in zip(np.atleast_1d(axes), names):
+        gt_psd = np.mean([rapsd(gt.data_vars[v][t], d=d)[0] for t in t_idx], axis=0)
+        _, freq = rapsd(gt.data_vars[v][t_idx[0]], d=d)
+        s_psd = np.mean(
+            [
+                rapsd(s.data_vars[v][t], d=d)[0]
+                for s in samples[:4]
+                for t in t_idx
+            ],
+            axis=0,
+        )
+        ax.loglog(freq[1:], gt_psd[1:], "k-", label="gt")
+        ax.loglog(freq[1:], s_psd[1:], "C0-", label="samples")
+        ax.set_title(v)
+        ax.set_xlabel("wavenumber [1/km]")
+        ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "rapsd.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+KINDS = {
+    "kde_and_pmf": lambda s, g, o, d: kde_and_pmf(s, g, d),
+    "timeseries": timeseries,
+    "storm_grid": storm_grid,
+    "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d),
+}
+
+
+def make(kind: str, exp_dir: str, out_dir: Optional[str] = None) -> str:
+    assert kind in KINDS, f"Unknown figure kind {kind!r}; options: {sorted(KINDS)}"
+    out_dir = out_dir or str(pathlib.Path(exp_dir) / "figures")
+    os.makedirs(out_dir, exist_ok=True)
+    samples, gt, obs = exputil.setup(exp_dir)
+    path = KINDS[kind](samples, gt, obs, out_dir)
+    print(f"Saved {path}")
+    return path

@@ -1,0 +1,78 @@
+"""Top-level experiment CLI (reference experiment.py: predict / figures; plus
+metrics, which the reference exposes as ``python -m exp.metrics``)."""
+
+from __future__ import annotations
+
+import click
+
+from climate2weather_tpu.parallel.mesh import configure_platform
+
+
+@click.group()
+def cli():
+    configure_platform()
+
+
+@cli.command()
+@click.option("--save-path", required=True, type=str)
+@click.option("--config-path", required=True, type=str)
+@click.option("--num-samples", type=int, default=None)
+@click.option("--num-hours", type=int, default=None)
+@click.option("--num-sampling-steps", type=int, default=None)
+@click.option("--num-corrections", type=int, default=None)
+@click.option("--batch-size", type=int, default=None)
+@click.option("--seed", type=int, default=None)
+@click.option("--observation-path", type=str, default=None)
+def predict(save_path, config_path, **overrides):
+    """Guided downscaling (reference exp/downscaling.py run)."""
+    from climate2weather_tpu.exp import downscaling
+
+    downscaling.run(save_path=save_path, config_path=config_path, **overrides)
+
+
+@cli.command("hparam-sweep")
+@click.option("--save-path", required=True, type=str)
+@click.option("--config-path", required=True, type=str)
+@click.option("--trials", type=int, default=10)
+@click.option("--base-seed", type=int, default=99)
+def hparam_sweep(save_path, config_path, trials, base_seed):
+    """Random search over likelihood (sigma, gamma)."""
+    from climate2weather_tpu.exp import downscaling
+
+    downscaling.sweep_likelihood_hparams(save_path, config_path, trials, base_seed)
+
+
+@cli.group()
+def metrics():
+    pass
+
+
+@metrics.command("run")
+@click.argument("exp_dir")
+def metrics_run(exp_dir):
+    from climate2weather_tpu.exp import metrics as m
+
+    m.run(exp_dir)
+
+
+@metrics.command("load")
+@click.argument("exp_dir")
+def metrics_load(exp_dir):
+    from climate2weather_tpu.exp import metrics as m
+
+    m.load(exp_dir)
+
+
+@cli.command()
+@click.argument("kind")
+@click.argument("exp_dir")
+@click.option("--out-dir", type=str, default=None)
+def figures(kind, exp_dir, out_dir):
+    """Paper figures: kde_and_pmf | timeseries | storm_grid | rapsd."""
+    from climate2weather_tpu.exp import figures as f
+
+    f.make(kind, exp_dir, out_dir)
+
+
+if __name__ == "__main__":
+    cli()
