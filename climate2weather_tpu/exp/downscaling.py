@@ -178,12 +178,9 @@ def _run_impl(
         ).to_file(os.path.join(save_path, "observation.nc"))
 
     # -- score function + guidance -----------------------------------------
-    score = WindowScoreFn(
-        make_batched_eps_fn(net.apply),
-        params,
-        markov_order,
-        chunk_size=batch_size,
-    )
+    # params and observation cross the jit boundary as arguments (closure
+    # capture would embed the full parameter set as HLO constants)
+    eps_fn = make_batched_eps_fn(net.apply)
     if do_condition:
         print(f"Observation shape: {observation.shape}")
         sigma = per_channel(
@@ -196,20 +193,21 @@ def _run_impl(
             else float(likelihood_gamma),
             C,
         )
-        guidance = GaussianGuidance(
-            A=A,
-            y=observation,
-            std=sigma,
-            gamma=gamma,
-            exact_grad=use_exact_grad,
-        )
-        score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
-    else:
-        score_fn = score
 
-    # -- compile once, sample the local shard ------------------------------
     @jax.jit
-    def sample_one(noise, rng):
+    def sample_one(params, observation, noise, rng):
+        score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
+        if do_condition:
+            guidance = GaussianGuidance(
+                A=A,
+                y=observation,
+                std=sigma,
+                gamma=gamma,
+                exact_grad=use_exact_grad,
+            )
+            score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
+        else:
+            score_fn = score
         return pc_sample(
             process,
             score_fn,
@@ -230,7 +228,7 @@ def _run_impl(
         import time as _time
 
         t0 = _time.time()
-        gen, nan_flag = sample_one(noise, skey)
+        gen, nan_flag = sample_one(params, observation, noise, skey)
         gen = np.asarray(jax.device_get(gen), np.float32)
         total = _time.time() - t0
         print(

@@ -197,6 +197,15 @@ def training_loop(
     losses_accum = []  # device scalars; synced only at log time
     valid_markov_order = dataset_kwargs.train.window // 2
 
+    # jitted once; params cross the boundary as an argument (closure capture
+    # would embed them as HLO constants and recompile per validation)
+    valid_eps_fn = make_batched_eps_fn(net.apply)
+
+    @jax.jit
+    def valid_sample(ema_params, noise, key):
+        sf = WindowScoreFn(valid_eps_fn, ema_params, valid_markov_order)
+        return pc_sample(process, sf, noise, steps=100, rng=key)
+
     while True:
         done = cur_ndata >= stop_at_ndata
 
@@ -260,14 +269,9 @@ def training_loop(
                 jnp.float32,
             )
             for rate in ema_rates:
-                sf = WindowScoreFn(
-                    make_batched_eps_fn(net.apply),
-                    state.emas[rate_key(rate)],
-                    valid_markov_order,
+                gen, nan_flag = valid_sample(
+                    state.emas[rate_key(rate)], noise, vrng
                 )
-                gen, nan_flag = jax.jit(
-                    lambda n, r: pc_sample(process, sf, n, steps=100, rng=r)
-                )(noise, vrng)
                 gen = jax.device_get(gen)
                 if logger is not None:
                     logger.log_image(
