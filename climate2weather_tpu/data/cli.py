@@ -1,0 +1,143 @@
+"""Data-engineering CLI (reference: the fire CLIs of data/processing.py and
+data/xarray_preproc.py plus the bash cdo_preproc.sh driver, implemented
+natively — no cdo binary needed).
+
+Usage:
+    python -m climate2weather_tpu.data.cli extract-patch ...
+    python -m climate2weather_tpu.data.cli quantiles ...
+    python -m climate2weather_tpu.data.cli to-normed-h5 ...
+    python -m climate2weather_tpu.data.cli preproc-all ...
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import click
+
+from climate2weather_tpu.data.grid import GridDataset, open_grid
+from climate2weather_tpu.data import processing as proc
+
+
+@click.group()
+def cli():
+    pass
+
+
+@cli.command("extract-patch")
+@click.option("--in-path", required=True, help="Full-domain grid file")
+@click.option("--out-path", required=True)
+@click.option("--lat0", default=proc.DEFAULT_PATCH["lat_range"][0], show_default=True)
+@click.option("--lat1", default=proc.DEFAULT_PATCH["lat_range"][1], show_default=True)
+@click.option("--lon0", default=proc.DEFAULT_PATCH["lon_range"][0], show_default=True)
+@click.option("--lon1", default=proc.DEFAULT_PATCH["lon_range"][1], show_default=True)
+@click.option("--no-interp", is_flag=True, help="Fail on NaN instead of interpolating")
+def extract_patch(in_path, out_path, lat0, lat1, lon0, lon1, no_interp):
+    """Slice the study patch by index ranges, interpolating NaN time steps
+    (reference data/processing.py extract_patch)."""
+    ds = open_grid(in_path)
+    patch = proc.extract_patch(
+        ds, (lat0, lat1), (lon0, lon1), interpolate_nans=not no_interp
+    )
+    patch.to_file(out_path)
+    print(f"Wrote {out_path}: {patch.sizes}")
+
+
+@cli.command("merge-time")
+@click.option("--out-path", required=True)
+@click.argument("in_paths", nargs=-1, required=True)
+def merge_time_cmd(out_path, in_paths):
+    """Concatenate files chronologically (cdo mergetime equivalent)."""
+    parts = [open_grid(p) for p in in_paths]
+    proc.merge_time(parts).to_file(out_path)
+    print(f"Wrote {out_path}")
+
+
+@cli.command("select-dates")
+@click.option("--in-path", required=True)
+@click.option("--out-path", required=True)
+@click.option("--start", required=True, help="YYYY-MM-DD[-HH]")
+@click.option("--end", required=True, help="YYYY-MM-DD[-HH]")
+def select_dates_cmd(in_path, out_path, start, end):
+    """Date-range split (cdo seldate equivalent; reference uses
+    2006-2013 train / 2014-2018 test)."""
+    proc.select_dates(open_grid(in_path), start, end).to_file(out_path)
+    print(f"Wrote {out_path}")
+
+
+@cli.command("merge-vars")
+@click.option("--out-path", required=True)
+@click.argument("in_paths", nargs=-1, required=True)
+def merge_vars_cmd(out_path, in_paths):
+    """Merge single-variable files (cdo merge equivalent)."""
+    proc.merge_vars([open_grid(p) for p in in_paths]).to_file(out_path)
+    print(f"Wrote {out_path}")
+
+
+@cli.command("quantiles")
+@click.option("--in-path", required=True)
+@click.option("--out-path", required=True)
+def quantiles(in_path, out_path):
+    """9 quantiles over (time, rlat, rlon) per variable
+    (reference data/xarray_preproc.py quantiles)."""
+    qd = proc.compute_quantiles(open_grid(in_path))
+    qd.to_file(out_path)
+    print(f"Wrote {out_path}: {sorted(qd.values)}")
+
+
+@cli.command("to-normed-h5")
+@click.option("--merged-path", required=True)
+@click.option("--quantile-path", required=True)
+@click.option("--out-path", required=True)
+@click.option("--norm-mode", default="quant95", show_default=True)
+def to_normed_h5(merged_path, quantile_path, out_path, norm_mode):
+    """Build the [T, C, H, W] float32 training HDF5
+    (reference data/processing.py to_normed_h5)."""
+    proc.merged_to_normed_h5(merged_path, quantile_path, out_path, norm_mode)
+    print(f"Wrote {out_path}")
+
+
+@cli.command("preproc-all")
+@click.option("--raw-dir", required=True,
+              help="Directory with per-variable subdirs of grid files")
+@click.option("--out-dir", required=True)
+@click.option("--train-range", default="2006-01-01,2013-12-31", show_default=True)
+@click.option("--test-range", default="2014-01-01,2018-12-31", show_default=True)
+@click.option("--norm-mode", default="quant95", show_default=True)
+def preproc_all(raw_dir, out_dir, train_range, test_range, norm_mode):
+    """Full offline pipeline: mergetime per var -> train/test splits ->
+    quantiles (train) -> merge vars -> normalized training h5
+    (the reference's data/cdo_preproc.sh flow, natively)."""
+    raw = pathlib.Path(raw_dir)
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    var_dirs = sorted(d for d in raw.iterdir() if d.is_dir())
+    assert var_dirs, f"No per-variable subdirectories in {raw_dir}"
+
+    splits = {"train": train_range.split(","), "test": test_range.split(",")}
+    merged_by_split = {}
+    for split, (start, end) in splits.items():
+        per_var = []
+        for vd in var_dirs:
+            files = sorted(vd.glob("*.nc")) + sorted(vd.glob("*.h5"))
+            merged = proc.merge_time([open_grid(str(f)) for f in files])
+            per_var.append(proc.select_dates(merged, start, end))
+        merged_by_split[split] = proc.merge_vars(per_var)
+        path = out / f"{split}_merged-allvars.nc"
+        merged_by_split[split].to_file(str(path))
+        print(f"Wrote {path}")
+
+    qd = proc.compute_quantiles(merged_by_split["train"])
+    qpath = out / "train_quantiles.nc"
+    qd.to_file(str(qpath))
+    print(f"Wrote {qpath}")
+
+    h5 = proc.merged_to_normed_h5(
+        str(out / "train_merged-allvars.nc"), str(qpath),
+        str(out / "train_normed.h5"), norm_mode,
+    )
+    print(f"Wrote {h5}")
+
+
+if __name__ == "__main__":
+    cli()

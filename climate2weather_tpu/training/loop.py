@@ -115,8 +115,10 @@ def training_loop(
         jnp.zeros((1,) + sample_item.shape, jnp.float32),
         jnp.ones((1,), jnp.float32),
     )
-    n_params = sum(p.size for p in jax.tree.leaves(params))
-    print(f"Model parameters: {n_params / 1e6:.2f}M")
+    if jax.process_index() == 0:
+        from climate2weather_tpu.utils.summary import print_module_summary
+
+        print_module_summary(params, name="score_unet")
 
     # -- process / optimizer / EMA / state ---------------------------------
     process = construct_class_by_name(**pipeline_kwargs)
@@ -320,6 +322,14 @@ def training_loop(
 
         if done:
             break
+
+        # ---- optional profiler trace (SURVEY.md §5: tracing first-class) --
+        profile_dir = os.environ.get("C2W_PROFILE_DIR")
+        if profile_dir and cur_ndata == start_ndata + 2 * batch_size:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and cur_ndata == start_ndata + 6 * batch_size:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {profile_dir}")
 
         # ---- optimization step -------------------------------------------
         batch_start_time = time.time()

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Production training launch (reference run_training.sh:32-48 hyperparameters,
+# TPU-native: devices come from the JAX runtime; multi-host pods set
+# JAX_COORDINATOR_ADDRESS and launch one process per host).
+#
+# Usage: ./run_training.sh RUN_DIR RUN_ID TRAIN_H5 [extra train.py flags...]
+set -euo pipefail
+
+RUN_DIR=${1:?usage: run_training.sh RUN_DIR RUN_ID TRAIN_H5 [flags...]}
+RUN_ID=${2:?}
+TRAIN_H5=${3:?}
+shift 3
+
+exec python train.py \
+  --run-dir "$RUN_DIR" \
+  --run-id "$RUN_ID" \
+  --train-data "$TRAIN_H5" \
+  --spatial-res 128 \
+  --num-features 4 \
+  --markov-order 6 \
+  --cache-data \
+  --total-ndata 180Mi \
+  --batch 512 \
+  --batch-gpu 128 \
+  --lr 0.0001 \
+  --status 20Ki \
+  --snapshot 1Mi \
+  --checkpoint 2Mi \
+  --logging 5Ki \
+  --valid 1Mi \
+  --seed 42 \
+  "$@"

@@ -1,0 +1,163 @@
+"""End-to-end integration: data build -> train -> snapshot -> guided
+downscaling -> metrics, all tiny on CPU (SURVEY.md §4 integration strategy)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic merged grid + quantiles + normalized training h5."""
+    from climate2weather_tpu.data.grid import GridDataset
+    from climate2weather_tpu.data.processing import (
+        compute_quantiles,
+        merged_to_normed_h5,
+    )
+
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.RandomState(0)
+    t = 48
+    time = np.datetime64("2014-01-01T00", "ns") + np.arange(t) * np.timedelta64(1, "h")
+    # smooth-ish fields so training/sampling are not pure noise
+    base = rng.randn(t, 16, 16).astype(np.float32)
+    ds = GridDataset(
+        {
+            v: (np.cumsum(rng.randn(t, 16, 16), axis=0) * 0.1 + i).astype(np.float32)
+            for i, v in enumerate(("psl", "tas", "uas", "vas"))
+        },
+        {"time": time, "rlat": np.linspace(-2, 2, 16), "rlon": np.linspace(0, 4, 16)},
+    )
+    ds.to_file(str(root / "merged.nc"))
+    compute_quantiles(ds).to_file(str(root / "quantiles.nc"))
+    merged_to_normed_h5(
+        str(root / "merged.nc"), str(root / "quantiles.nc"), str(root / "train.h5")
+    )
+    return root
+
+
+def test_train_snapshot_predict_metrics(workspace):
+    from climate2weather_tpu.exp import downscaling, metrics
+    from climate2weather_tpu.training.loop import training_loop
+    from climate2weather_tpu.utils.easydict import EasyDict
+    from climate2weather_tpu.utils.logging import RunLogger
+
+    run_dir = str(workspace / "run")
+    os.makedirs(run_dir, exist_ok=True)
+
+    window = 3
+    dataset_kwargs = EasyDict(
+        train=EasyDict(
+            class_name="cosmo_dataset",
+            data_path=str(workspace / "train.h5"),
+            num_features=4,
+            spatial_res=16,
+            cached=True,
+            window=window,
+            flatten=True,
+        )
+    )
+    network_kwargs = dict(
+        channels=4 * window,
+        embedding_dim=32,
+        hidden_channels=(8, 16),
+        hidden_blocks=(1, 1),
+        attention_levels=(),
+    )
+    import jax.numpy as jnp
+
+    training_loop(
+        run_dir,
+        dataset_kwargs=dataset_kwargs,
+        network_kwargs=network_kwargs,
+        pipeline_kwargs=dict(class_name="vp_cosine"),
+        optimizer_kwargs=dict(lr=1e-3, weight_decay=1e-3),
+        lr_kwargs=dict(func_name="lr/linear", ref_lr=1e-3, total_ndata=1024),
+        batch_size=64,
+        batch_gpu=None,
+        total_ndata=1024,
+        log_ndata=None,
+        status_ndata=None,
+        snapshot_ndata=1024,
+        checkpoint_ndata=None,
+        valid_ndata=None,
+        seed=0,
+        logger=RunLogger(run_dir, enabled=False),
+        compute_dtype=jnp.float32,
+        loader_threads=1,
+    )
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    assert snaps, os.listdir(run_dir)
+
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=12,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=4,
+        num_samples=2,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        t_step=3,
+        s_step=4,
+        batch_size=4,
+        seed=0,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "exp.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    exp_dir = downscaling.run(str(workspace / "exp_out"), cfg_path)
+    files = sorted(os.listdir(exp_dir))
+    assert "ground_truth.nc" in files
+    assert "observation.nc" in files
+    assert "gen_sample_000.nc" in files and "gen_sample_001.nc" in files
+
+    m = metrics.run(str(exp_dir))
+    for kind in ("wasserstein", "melr", "ssim"):
+        for v in ("psl", "tas", "uas", "vas"):
+            vals = m[kind][v]["global"]
+            assert np.all(np.isfinite(vals)), (kind, v, vals)
+
+
+def test_exact_grad_predict(workspace):
+    """The autodiff guidance path must run end-to-end too."""
+    run_dir = str(workspace / "run")
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    from climate2weather_tpu.exp import downscaling
+
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=8,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=2,
+        num_samples=1,
+        num_corrections=1,
+        likelihood_std=0.1,
+        likelihood_gamma=1e-3,
+        t_step=2,
+        s_step=4,
+        batch_size=4,
+        seed=1,
+        use_exact_grad=True,
+    )
+    import yaml
+
+    cfg_path = str(workspace / "exp_exact.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = downscaling.run(str(workspace / "exp_exact_out"), cfg_path)
+    assert (exp_dir / "gen_sample_000.nc").exists()
