@@ -58,6 +58,7 @@ class ScoreUNet(nn.Module):
     kernel_size: int = 3
     stride: int = 2
     dtype: Dtype = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -89,20 +90,32 @@ class ScoreUNet(nn.Module):
             kernel_size=self.kernel_size,
             stride=self.stride,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
             name="unet",
         )(x, emb)
         return out
 
 
-def build_score_unet(model_cfg: dict, dtype=jnp.bfloat16) -> ScoreUNet:
+def build_score_unet(
+    model_cfg: dict, dtype=jnp.bfloat16, use_pallas_attention=None
+) -> ScoreUNet:
     """Construct a ScoreUNet from a config dict (the sda_unet.yml surface).
 
     Accepted keys: channels, embedding_dim, hidden_channels, hidden_blocks,
     attention_levels, kernel_size, forcing_dim.  Unknown torch-only keys
     (padding_mode, spatial, activation) are ignored for compatibility with
     reference YAMLs (configs/sda_unet.yml).
+
+    ``use_pallas_attention=None`` auto-enables the fused Pallas attention
+    kernel on TPU backends.
     """
+    import jax
+
     cfg = EasyDict(model_cfg)
+    if use_pallas_attention is None:
+        use_pallas_attention = bool(
+            cfg.get("use_pallas_attention", jax.default_backend() == "tpu")
+        )
     return ScoreUNet(
         channels=int(cfg["channels"]),
         embedding_dim=int(cfg.get("embedding_dim", 512)),
@@ -113,4 +126,5 @@ def build_score_unet(model_cfg: dict, dtype=jnp.bfloat16) -> ScoreUNet:
         kernel_size=int(cfg.get("kernel_size", 3)),
         stride=int(cfg.get("stride", 2)),
         dtype=dtype,
+        use_pallas_attention=use_pallas_attention,
     )

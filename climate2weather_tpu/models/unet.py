@@ -74,12 +74,15 @@ class AttentionBlock(nn.Module):
 
     Single head by default; fp32 softmax with sqrt(sqrt(ch)) scaling applied
     to both q and k before the product for low-precision stability
-    (reference model/nn.py:31-85).
+    (reference model/nn.py:31-85).  With ``use_pallas`` and one head, the
+    scores/softmax/weighted-sum run as one fused Pallas kernel
+    (ops/attention.py).
     """
 
     channels: int
     num_heads: int = 1
     dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,18 +91,24 @@ class AttentionBlock(nn.Module):
         h = x.reshape(b, t, c)
         h_norm = channel_norm(h)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h_norm)
-        qkv = qkv.reshape(b, t, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, t, heads, ch]
-        ch = c // self.num_heads
-        scale = ch ** (-0.25)
-        logits = jnp.einsum(
-            "bthc,bshc->bhts",
-            (q * scale).astype(jnp.float32),
-            (k * scale).astype(jnp.float32),
-        )
-        weights = nn.softmax(logits, axis=-1)  # logits already fp32
-        out = jnp.einsum("bhts,bshc->bthc", weights.astype(v.dtype), v)
-        out = out.reshape(b, t, c)
+        if self.use_pallas and self.num_heads == 1:
+            from climate2weather_tpu.ops.attention import fused_attention
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = fused_attention(q, k, v)
+        else:
+            qkv = qkv.reshape(b, t, 3, self.num_heads, c // self.num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, t, heads, ch]
+            ch = c // self.num_heads
+            scale = ch ** (-0.25)
+            logits = jnp.einsum(
+                "bthc,bshc->bhts",
+                (q * scale).astype(jnp.float32),
+                (k * scale).astype(jnp.float32),
+            )
+            weights = nn.softmax(logits, axis=-1)  # logits already fp32
+            out = jnp.einsum("bhts,bshc->bthc", weights.astype(v.dtype), v)
+            out = out.reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
         return ((h + out)).reshape(b, hgt, wid, c)
 
@@ -121,6 +130,7 @@ class UNet(nn.Module):
     kernel_size: int = 3
     stride: int = 2
     dtype: Dtype = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -147,6 +157,7 @@ class UNet(nn.Module):
                         AttentionBlock(
                             self.hidden_channels[i],
                             dtype=self.dtype,
+                            use_pallas=self.use_pallas_attention,
                             name=f"{stage}{i}_attn{bi}",
                         )
                     )
