@@ -1,0 +1,168 @@
+"""Host-streaming sampling for trajectories that exceed device HBM.
+
+Capability parity with the reference ``BatchedScoreFunction``
+(src/thor/score.py:96-185), whose purpose is sampling sequences too large
+for accelerator memory: the trajectory lives in host RAM and only window
+chunks visit the device.
+
+When the trajectory fits HBM (a full year of 4-var 128x128 hourly fields is
+~2.3 GB — it fits easily), use the on-device scan sampler
+(diffusion/sampler.py); this module is the fallback for decade-scale or
+high-resolution trajectories.
+
+TPU-idiomatic differences from the reference:
+
+- windows are gathered on host as zero-copy strided views
+  (``sliding_window_view``), not materialized tensors;
+- the per-chunk device evaluation is one jitted function reused across
+  chunks/steps (no per-chunk graph rebuilds);
+- the guidance gradient uses the analytic coarse-graining adjoint in numpy
+  (detached mode — the production path), so no autodiff graph ever spans
+  the host trajectory;
+- predictor/corrector updates are vectorized numpy over the host buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NumpyCoarsening:
+    """numpy twin of guidance.SpatioTemporalCoarsening (same math)."""
+
+    def __init__(self, s_step: int = 16, t_step: int = 6):
+        self.s_step = s_step
+        self.t_step = t_step
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        x = x[:: self.t_step]
+        lo, H, W, C = x.shape
+        s = self.s_step
+        return x.reshape(lo, H // s, s, W // s, s, C).mean(axis=(2, 4))
+
+    def adjoint(self, v: np.ndarray, out_len: int) -> np.ndarray:
+        lo, h, w, C = v.shape
+        s = self.s_step
+        u = np.broadcast_to(
+            v[:, :, None, :, None, :] / (s * s), (lo, h, s, w, s, C)
+        ).reshape(lo, h * s, w * s, C)
+        out = np.zeros((out_len, h * s, w * s, C), v.dtype)
+        out[:: self.t_step] = u[: -(-out_len // self.t_step)]
+        return out
+
+
+class HostStreamingScoreFn:
+    """eps prediction over a host-resident [L, H, W, C] numpy trajectory."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params,
+        markov_order: int,
+        batch_size: int = 128,
+    ):
+        self.params = params
+        self.markov_order = int(markov_order)
+        self.batch_size = int(batch_size)
+
+        @jax.jit
+        def _eval(params, windows, t):
+            return apply_fn(params, windows, jnp.reshape(jnp.asarray(t), (-1,)))
+
+        self._eval = _eval
+
+    @property
+    def window(self) -> int:
+        return 2 * self.markov_order + 1
+
+    def __call__(self, x: np.ndarray, t: float) -> np.ndarray:
+        k, w, B = self.markov_order, self.window, self.batch_size
+        L, H, W, C = x.shape
+        n = L - w + 1
+        # [n, w, H, W, C] zero-copy strided view
+        wins = np.lib.stride_tricks.sliding_window_view(x, w, axis=0)
+        # sliding_window_view puts the window axis last: [n, H, W, C, w]
+        out = np.empty((L, H, W, C), np.float32)
+        centers = out[k : k + n]
+        for c0 in range(0, n, B):
+            c1 = min(c0 + B, n)
+            chunk = wins[c0:c1]  # [b, H, W, C, w] view
+            chunk = np.moveaxis(chunk, -1, 3).reshape(c1 - c0, H, W, w * C)
+            eps = np.asarray(
+                jax.device_get(self._eval(self.params, jnp.asarray(chunk), t)),
+                np.float32,
+            ).reshape(c1 - c0, H, W, w, C)
+            centers[c0:c1] = eps[:, :, :, k, :]
+            if c0 == 0 and k > 0:
+                out[:k] = np.moveaxis(eps[0, :, :, :k, :], 2, 0)
+            if c1 == n and k > 0:
+                out[k + n :] = np.moveaxis(eps[-1, :, :, w - k :, :], 2, 0)
+        return out
+
+
+def sample_host(
+    process,
+    score_fn: HostStreamingScoreFn,
+    noise: np.ndarray,
+    *,
+    steps: int = 64,
+    corrections: int = 0,
+    tau: float = 1.0,
+    guidance_A: Optional[NumpyCoarsening] = None,
+    guidance_y: Optional[np.ndarray] = None,
+    guidance_std=1e-2,
+    guidance_gamma=1e-2,
+    seed: int = 0,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Predictor-corrector sampling over a host-resident trajectory.
+
+    Same schedule math as diffusion/sampler.py (and the reference
+    src/thor/pipelines.py:41-97); guidance is the detached analytic form.
+    Raises on NaN like the reference.
+    """
+    x = np.asarray(noise, np.float32).copy()
+    L = x.shape[0]
+    rng = np.random.RandomState(seed)
+    time_steps = np.linspace(1.0, 0.0, steps + 1, dtype=np.float64)
+    dt = 1.0 / steps
+    std = np.asarray(guidance_std, np.float32)
+    gamma = np.asarray(guidance_gamma, np.float32)
+
+    def schedule(t):
+        mu = float(process.mu(t))
+        sigma = float(process.sigma(t))
+        return mu, sigma
+
+    def guided_eps(x, t):
+        eps = score_fn(x, float(t))
+        if guidance_A is None:
+            return eps
+        mu, sigma = schedule(t)
+        x0 = (x - sigma * eps) / mu
+        err = (guidance_y - guidance_A(x0)) / (std**2 + gamma * (sigma / mu) ** 2)
+        eps -= (sigma / mu) * guidance_A.adjoint(err.astype(np.float32), L)
+        return eps
+
+    for i, t in enumerate(time_steps[:-1]):
+        mu, sigma = schedule(t)
+        mu2, sigma2 = schedule(t - dt)
+        eps = guided_eps(x, t)
+        # x0 = (x - sigma*eps)/mu ; x <- mu2*x0 + sigma2*eps, fused in-place
+        x -= sigma * eps
+        x *= mu2 / mu
+        x += sigma2 * eps
+        for _ in range(corrections):
+            eps = guided_eps(x, t - dt)
+            delta = tau / float(np.mean(np.square(eps), dtype=np.float64))
+            z = rng.standard_normal(x.shape).astype(np.float32)
+            x -= (delta * eps + np.sqrt(2 * delta) * z) * sigma2
+        if not np.isfinite(x).all():
+            raise FloatingPointError(f"NaN detected in sample at step {i}")
+        if verbose and (i % 16 == 0 or i == steps - 1):
+            print(f"host-stream sampling: step {i + 1}/{steps}")
+    return x

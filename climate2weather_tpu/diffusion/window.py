@@ -92,12 +92,14 @@ class WindowScoreFn:
         chunk_size: Optional[int] = None,
         remat: bool = False,
         window_sharding=None,
+        noise_process=None,
     ):
         self.apply_fn = apply_fn
         self.params = params
         self.markov_order = int(markov_order)
         self.chunk_size = chunk_size
         self.remat = remat
+        self.noise_process = noise_process
         # Optional NamedSharding for the window-batch axis: constrains each
         # gathered chunk to shard over the mesh so the UNet evaluation runs
         # sequence-parallel over ICI (the TPU answer to the reference's
@@ -128,6 +130,29 @@ class WindowScoreFn:
         if self.window_sharding is not None:
             windows = jax.lax.with_sharding_constraint(windows, self.window_sharding)
         return windows
+
+    def condition_on(self, *, A, y, std, gamma=1e-2, exact_grad=False):
+        """Return a guided score function for p(y | A(x0)) — the reference's
+        ``AbstractScoreFunction.condition_on`` chaining surface
+        (src/thor/score.py:44-60).  Requires ``noise_process`` to be set."""
+        from climate2weather_tpu.diffusion.guidance import GaussianGuidance
+
+        assert self.noise_process is not None, (
+            "condition_on requires WindowScoreFn(..., noise_process=...)"
+        )
+        guidance = GaussianGuidance(
+            A=A, y=y, std=std, gamma=gamma, exact_grad=exact_grad
+        )
+        process = self.noise_process
+        base = self
+
+        class _Conditioned:
+            is_conditioned = True
+
+            def __call__(self, x, t):
+                return guidance.guided_eps(base, process, x, t)
+
+        return _Conditioned()
 
     # -- chunked evaluation (lax.scan over window chunks) ------------------
     def _chunked(self, x: jnp.ndarray, t) -> jnp.ndarray:

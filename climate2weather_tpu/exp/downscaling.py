@@ -106,6 +106,7 @@ def _run_impl(
     t_step: int = 6,
     s_step: int = 16,
     batch_size: int = 16,
+    host_streaming: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -228,8 +229,41 @@ def _run_impl(
         import time as _time
 
         t0 = _time.time()
-        gen, nan_flag = sample_one(params, observation, noise, skey)
-        gen = np.asarray(jax.device_get(gen), np.float32)
+        if host_streaming:
+            # trajectory exceeds HBM: host-resident fallback (the TPU
+            # equivalent of the reference's BatchedScoreFunction mode)
+            from climate2weather_tpu.diffusion.host_stream import (
+                HostStreamingScoreFn,
+                NumpyCoarsening,
+                sample_host,
+            )
+
+            host_sf = HostStreamingScoreFn(
+                net.apply, params, markov_order, batch_size=batch_size
+            )
+            assert not use_exact_grad, (
+                "host_streaming supports the detached guidance mode only"
+            )
+            gen = sample_host(
+                process,
+                host_sf,
+                np.asarray(jax.device_get(noise)),
+                steps=num_sampling_steps,
+                corrections=num_corrections,
+                tau=correction_tau,
+                guidance_A=NumpyCoarsening(s_step, t_step) if do_condition else None,
+                guidance_y=np.asarray(jax.device_get(observation))
+                if do_condition
+                else None,
+                guidance_std=np.asarray(sigma) if do_condition else 1e-2,
+                guidance_gamma=np.asarray(gamma) if do_condition else 1e-2,
+                seed=derive_seed(seed, "host", sample_id),
+                verbose=rank == 0,
+            )
+            nan_flag = False
+        else:
+            gen, nan_flag = sample_one(params, observation, noise, skey)
+            gen = np.asarray(jax.device_get(gen), np.float32)
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "

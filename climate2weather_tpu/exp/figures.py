@@ -167,11 +167,36 @@ def rapsd_figure(
     return path
 
 
+def windpowers(
+    samples: List[GridDataset], gt: GridDataset, out_dir: str
+) -> str:
+    """Wind-power time series: ensemble vs ground truth through the turbine
+    model (reference exp/figures.py:1288)."""
+    from climate2weather_tpu.exp.windpower import windpower_timeseries
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 3))
+    t = gt.time.astype("datetime64[s]")
+    ens = np.stack([windpower_timeseries(s) for s in samples]) / 1e6
+    ax.fill_between(t[: ens.shape[1]], ens.min(0), ens.max(0), alpha=0.3,
+                    label="ensemble range")
+    ax.plot(t[: ens.shape[1]], ens.mean(0), lw=1, label="ensemble mean")
+    ax.plot(t, windpower_timeseries(gt) / 1e6, "k-", lw=1, label="gt")
+    ax.set_ylabel("mean turbine power [MW]")
+    ax.legend(ncol=3, fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "windpower.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 KINDS = {
     "kde_and_pmf": lambda s, g, o, d: kde_and_pmf(s, g, d),
     "timeseries": timeseries,
     "storm_grid": storm_grid,
     "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d),
+    "windpower": lambda s, g, o, d: windpowers(s, g, d),
 }
 
 

@@ -1,0 +1,88 @@
+"""Host-streaming sampler must match the on-device scan sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climate2weather_tpu.diffusion import (
+    GaussianGuidance,
+    SpatioTemporalCoarsening,
+    VPCosineProcess,
+)
+from climate2weather_tpu.diffusion.host_stream import (
+    HostStreamingScoreFn,
+    NumpyCoarsening,
+    sample_host,
+)
+from climate2weather_tpu.diffusion.sampler import sample as device_sample
+from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
+
+
+def test_host_score_matches_device(tiny_net, rng):
+    net, params, C, window = tiny_net
+    k = window // 2
+    L = 11
+    x = np.asarray(jax.random.normal(rng, (L, 16, 16, C)), np.float32)
+    dev = WindowScoreFn(make_batched_eps_fn(net.apply), params, k, chunk_size=3)
+    host = HostStreamingScoreFn(net.apply, params, k, batch_size=3)
+    e_dev = np.asarray(dev(jnp.asarray(x), jnp.float32(0.4)))
+    e_host = host(x, 0.4)
+    np.testing.assert_allclose(e_host, e_dev, atol=3e-5)
+
+
+def test_host_sampler_matches_device_unguided(tiny_net, rng):
+    net, params, C, window = tiny_net
+    k = window // 2
+    proc = VPCosineProcess()
+    L = 9
+    noise = np.asarray(jax.random.normal(rng, (L, 16, 16, C)), np.float32)
+    dev_sf = WindowScoreFn(make_batched_eps_fn(net.apply), params, k)
+    want, nan = device_sample(proc, dev_sf, jnp.asarray(noise), steps=4)
+    assert not bool(nan)
+    host_sf = HostStreamingScoreFn(net.apply, params, k, batch_size=4)
+    got = sample_host(proc, host_sf, noise, steps=4)
+    # The reverse dynamics amplify ~1000x at t=1 (1/mu), so fp32
+    # reassociation between lax.scan and the numpy loop compounds; per-step
+    # eps agreement is ~1e-6 (see test_host_score_matches_device) and the
+    # trajectory-level check is necessarily loose.
+    np.testing.assert_allclose(got, np.asarray(want), rtol=5e-2, atol=5e-2)
+
+
+def test_host_sampler_matches_device_guided(tiny_net, rng):
+    net, params, C, window = tiny_net
+    k = window // 2
+    proc = VPCosineProcess()
+    L = 9
+    noise = np.asarray(jax.random.normal(rng, (L, 16, 16, C)), np.float32)
+    gt = np.asarray(
+        jax.random.normal(jax.random.fold_in(rng, 1), (L, 16, 16, C)), np.float32
+    )
+    A_np = NumpyCoarsening(s_step=4, t_step=3)
+    A_dev = SpatioTemporalCoarsening(s_step=4, t_step=3)
+    y = A_np(gt)
+    std = np.asarray([0.2, 0.3], np.float32).reshape(1, 1, 1, 2)
+
+    dev_sf = WindowScoreFn(make_batched_eps_fn(net.apply), params, k)
+    guidance = GaussianGuidance(
+        A=A_dev, y=jnp.asarray(y), std=jnp.asarray(std), gamma=7e-4, exact_grad=False
+    )
+    want, nan = device_sample(
+        proc,
+        lambda x, t: guidance.guided_eps(dev_sf, proc, x, t),
+        jnp.asarray(noise),
+        steps=4,
+    )
+    assert not bool(nan)
+
+    host_sf = HostStreamingScoreFn(net.apply, params, k, batch_size=4)
+    got = sample_host(
+        proc,
+        host_sf,
+        noise,
+        steps=4,
+        guidance_A=A_np,
+        guidance_y=y,
+        guidance_std=std,
+        guidance_gamma=7e-4,
+    )
+    np.testing.assert_allclose(got, np.asarray(want), rtol=5e-2, atol=5e-2)
