@@ -148,6 +148,14 @@ class WindowDataset:
         """[window, C, H, W] float32 raw window."""
         return np.asarray(self._reader()[i : i + self._window], np.float32)
 
+    def load_window_flat(self, i: int) -> np.ndarray:
+        """[window*C, H, W] float32 — a pure contiguous copy (the window is
+        contiguous in the [T, C, H, W] store), frame-major channel order.
+        The NHWC transpose happens on device where it is ~free; doing it on
+        host costs ~40x a memcpy on weak hosts."""
+        w = self.load_window(i)
+        return w.reshape(self._window * w.shape[1], *w.shape[2:])
+
     def __getitem__(self, i: int) -> np.ndarray:
         """NHWC item: [H, W, window*C] (flatten=True) or [window, H, W, C]."""
         x = self.load_window(i)  # [w, C, H, W]
@@ -172,11 +180,17 @@ class PrefetchLoader:
         rounds: int = 1,
         num_threads: int = 2,
         prefetch: int = 2,
+        channels_first: bool = True,
     ):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.rounds = rounds
+        # channels_first=True yields [rounds, B, w*C, H, W] assembled by pure
+        # contiguous copies (device transposes to NHWC inside the jitted
+        # step); False yields [rounds, B, H, W, w*C] (host transpose via the
+        # native C++ assembler when available)
+        self.channels_first = channels_first
         self.num_threads = num_threads
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -189,12 +203,47 @@ class PrefetchLoader:
             return [next(self._index_iter) for _ in range(n)]
 
     def _worker(self):
+        cache = getattr(self.dataset, "_cache", None)
+        use_native = (
+            not self.channels_first
+            and cache is not None
+            and getattr(self.dataset, "flatten", False)
+        )
         while not self._stop.is_set():
             idxs = self._next_indices(self.rounds * self.batch_size)
-            items = [self.dataset[i] for i in idxs]
-            batch = np.stack(items).reshape(
-                (self.rounds, self.batch_size) + items[0].shape
-            )
+            batch = None
+            if self.channels_first:
+                # single-copy assembly straight into the batch buffer
+                ds = self.dataset
+                w = ds.window
+                wc = w * ds.num_features
+                H = Wd = ds.spatial_res
+                n = self.rounds * self.batch_size
+                batch = np.empty((n, wc, H, Wd), np.float32)
+                reader = ds._reader()
+                for j, i in enumerate(idxs):
+                    batch[j] = reader[i : i + w].reshape(wc, H, Wd)
+                batch = batch.reshape(
+                    (self.rounds, self.batch_size, wc, H, Wd)
+                )
+            elif use_native:
+                # host-side NHWC via the native C++ gather/transpose
+                from climate2weather_tpu.data import native_loader
+
+                flat = native_loader.assemble_batch(
+                    cache, np.asarray(idxs, np.int64), self.dataset.window
+                )
+                if flat is None:
+                    use_native = False
+                else:
+                    batch = flat.reshape(
+                        (self.rounds, self.batch_size) + flat.shape[1:]
+                    )
+            if batch is None:
+                items = [self.dataset[i] for i in idxs]
+                batch = np.stack(items).reshape(
+                    (self.rounds, self.batch_size) + items[0].shape
+                )
             while not self._stop.is_set():
                 try:
                     self.queue.put(batch, timeout=0.5)

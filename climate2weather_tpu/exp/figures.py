@@ -191,20 +191,139 @@ def windpowers(
     return path
 
 
+def climate_grid(
+    samples: List[GridDataset],
+    gt: GridDataset,
+    obs: GridDataset,
+    out_dir: str,
+    var: str = "tas",
+    n_times: int = 5,
+) -> str:
+    """Coarse climate input vs downscaled ensemble at observation times
+    (reference exp/figures.py:669) — like storm_grid but organized around
+    the observation grid, with the coarse field overlaid at matching
+    color scale."""
+    plt = _plt()
+    To = obs.sizes["time"]
+    t_idx = np.linspace(0, To - 1, min(n_times, To)).astype(int)
+    nrows = 1 + min(len(samples), 3)
+    fig, axes = plt.subplots(nrows, len(t_idx), figsize=(2.2 * len(t_idx), 2.2 * nrows))
+    axes = np.atleast_2d(axes)
+    vmin = float(np.nanmin(obs.data_vars[var]))
+    vmax = float(np.nanmax(obs.data_vars[var]))
+    gt_times = gt.time
+    for j, oi in enumerate(t_idx):
+        ti = int(np.argmin(np.abs(gt_times - obs.time[oi])))
+        axes[0, j].imshow(obs.data_vars[var][oi], vmin=vmin, vmax=vmax)
+        axes[0, j].set_title(str(obs.time[oi].astype("datetime64[h]")), fontsize=7)
+        for r in range(nrows - 1):
+            axes[1 + r, j].imshow(samples[r].data_vars[var][ti], vmin=vmin, vmax=vmax)
+    for ax in axes.ravel():
+        ax.set_xticks([])
+        ax.set_yticks([])
+    axes[0, 0].set_ylabel("climate input")
+    for r in range(nrows - 1):
+        axes[1 + r, 0].set_ylabel(f"sample {r}")
+    fig.tight_layout()
+    path = os.path.join(out_dir, f"climate_grid_{var}.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def big_grid(
+    samples: List[GridDataset],
+    gt: GridDataset,
+    out_dir: str,
+    n_times: int = 8,
+) -> str:
+    """All variables x time for one sample against ground truth
+    (reference exp/figures.py:1797)."""
+    plt = _plt()
+    names = gt.var_names()
+    T = gt.sizes["time"]
+    t_idx = np.linspace(0, T - 1, min(n_times, T)).astype(int)
+    nrows = 2 * len(names)
+    fig, axes = plt.subplots(nrows, len(t_idx), figsize=(2 * len(t_idx), 2 * nrows))
+    for vi, v in enumerate(names):
+        vmin = float(np.nanmin(gt.data_vars[v]))
+        vmax = float(np.nanmax(gt.data_vars[v]))
+        for j, ti in enumerate(t_idx):
+            axes[2 * vi, j].imshow(gt.data_vars[v][ti], vmin=vmin, vmax=vmax)
+            axes[2 * vi + 1, j].imshow(samples[0].data_vars[v][ti], vmin=vmin, vmax=vmax)
+        axes[2 * vi, 0].set_ylabel(f"{v} gt", fontsize=8)
+        axes[2 * vi + 1, 0].set_ylabel(f"{v} sample", fontsize=8)
+    for ax in axes.ravel():
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    path = os.path.join(out_dir, "big_grid.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def downscaled_clim_dist(
+    exp_dirs: List[str], labels: List[str], out_dir: str
+) -> str:
+    """Per-variable value distributions of downscaled ensembles from
+    multiple experiments (e.g. biased vs quantile-mapping-debiased CMIP6
+    inputs) against the shared ground truth
+    (reference exp/figures.py:871-906)."""
+    plt = _plt()
+    loaded = [exputil.setup(d) for d in exp_dirs]
+    gt = loaded[0][1]
+    names = gt.var_names()
+    fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3))
+    for ax, v in zip(np.atleast_1d(axes), names):
+        gt_vals = gt.data_vars[v].ravel()
+        lo, hi = gt_vals.min(), gt_vals.max()
+        for (samples, _, _), label in zip(loaded, labels):
+            s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
+            lo, hi = min(lo, s_vals.min()), max(hi, s_vals.max())
+        bins = np.linspace(lo, hi, 80)
+        ax.hist(gt_vals, bins=bins, density=True, histtype="step", lw=2,
+                color="k", label="ground truth")
+        for (samples, _, _), label in zip(loaded, labels):
+            s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
+            ax.hist(s_vals, bins=bins, density=True, histtype="step", label=label)
+        name, unit = VAR2NAME.get(v, (v, ""))
+        ax.set_title(f"{name} [{unit}]")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "downscaled_clim_dist.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 KINDS = {
     "kde_and_pmf": lambda s, g, o, d: kde_and_pmf(s, g, d),
     "timeseries": timeseries,
     "storm_grid": storm_grid,
+    "climate_grid": climate_grid,
+    "big_grid": lambda s, g, o, d: big_grid(s, g, d),
     "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d),
     "windpower": lambda s, g, o, d: windpowers(s, g, d),
 }
 
 
-def make(kind: str, exp_dir: str, out_dir: Optional[str] = None) -> str:
-    assert kind in KINDS, f"Unknown figure kind {kind!r}; options: {sorted(KINDS)}"
+def make(
+    kind: str,
+    exp_dir: str,
+    out_dir: Optional[str] = None,
+    compare: Optional[List[str]] = None,
+) -> str:
+    valid = sorted(KINDS) + ["downscaled_clim_dist"]
+    assert kind in valid, f"Unknown figure kind {kind!r}; options: {valid}"
     out_dir = out_dir or str(pathlib.Path(exp_dir) / "figures")
     os.makedirs(out_dir, exist_ok=True)
-    samples, gt, obs = exputil.setup(exp_dir)
-    path = KINDS[kind](samples, gt, obs, out_dir)
+    if kind == "downscaled_clim_dist":
+        dirs = [exp_dir] + list(compare or [])
+        labels = [pathlib.Path(d).name for d in dirs]
+        path = downscaled_clim_dist(dirs, labels, out_dir)
+    else:
+        samples, gt, obs = exputil.setup(exp_dir)
+        path = KINDS[kind](samples, gt, obs, out_dir)
     print(f"Saved {path}")
     return path

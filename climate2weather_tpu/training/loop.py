@@ -73,6 +73,11 @@ def training_loop(
     loader_threads=2,
 ):
     prev_status_time = time.time()
+    # interval == 0 disables the corresponding side effect
+    norm = lambda v: None if not v else v
+    log_ndata, status_ndata = norm(log_ndata), norm(status_ndata)
+    snapshot_ndata, checkpoint_ndata = norm(snapshot_ndata), norm(checkpoint_ndata)
+    valid_ndata, slice_ndata = norm(valid_ndata), norm(slice_ndata)
     set_random_seed(seed, jax.process_index())
     rng = jax.random.PRNGKey(derive_seed(seed, jax.process_index()))
 
@@ -127,7 +132,8 @@ def training_loop(
     ema_rates = tuple((ema_kwargs or {}).get("rates", (0.9999,)))
     state = init_train_state(params, optimizer, ema_rates)
     train_step = make_train_step(
-        net.apply, process, optimizer, ema_rates, loss_scaling
+        net.apply, process, optimizer, ema_rates, loss_scaling,
+        channels_first=True,
     )
 
     # -- resume ------------------------------------------------------------

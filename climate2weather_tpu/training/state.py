@@ -72,15 +72,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     ema_rates: Sequence[float] = (0.9999,),
     loss_scaling: float = 1.0,
+    channels_first: bool = False,
 ) -> Callable:
     """Build ``train_step(state, batch, rng) -> (state, loss)``.
 
-    ``batch`` has shape [rounds, B, H, W, C] — the leading axis is gradient
-    accumulation; pass rounds=1 when no accumulation is needed.  The whole
-    step (accumulation scan, grad mean, AdamW, EMA) is one jit region.
+    ``batch`` has shape [rounds, B, H, W, C] (or [rounds, B, C, H, W] with
+    ``channels_first=True`` — the loader ships NCHW because host transposes
+    are slow, and the device transposes to NHWC here for ~free).  The
+    leading axis is gradient accumulation; pass rounds=1 when no
+    accumulation is needed.  The whole step (accumulation scan, grad mean,
+    AdamW, EMA) is one jit region.
     """
 
     def loss_fn(params, microbatch, rng):
+        if channels_first:
+            microbatch = jnp.transpose(microbatch, (0, 2, 3, 1))
         return process.loss(
             rng, lambda xt, t, forcing: eps_model_apply(params, xt, t), microbatch
         ) * loss_scaling

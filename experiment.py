@@ -67,11 +67,14 @@ def metrics_load(exp_dir):
 @click.argument("kind")
 @click.argument("exp_dir")
 @click.option("--out-dir", type=str, default=None)
-def figures(kind, exp_dir, out_dir):
-    """Paper figures: kde_and_pmf | timeseries | storm_grid | rapsd."""
+@click.option("--compare", type=str, multiple=True,
+              help="Additional experiment dirs (downscaled_clim_dist)")
+def figures(kind, exp_dir, out_dir, compare):
+    """Paper figures: kde_and_pmf | timeseries | storm_grid | climate_grid |
+    big_grid | rapsd | windpower | downscaled_clim_dist."""
     from climate2weather_tpu.exp import figures as f
 
-    f.make(kind, exp_dir, out_dir)
+    f.make(kind, exp_dir, out_dir, compare=list(compare))
 
 
 if __name__ == "__main__":
