@@ -57,6 +57,7 @@ class ScoreUNet(nn.Module):
     attention_levels: Sequence[int] = ()
     kernel_size: int = 3
     stride: int = 2
+    spatial: int = 2
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = False
 
@@ -89,6 +90,7 @@ class ScoreUNet(nn.Module):
             attention_levels=tuple(self.attention_levels),
             kernel_size=self.kernel_size,
             stride=self.stride,
+            spatial=self.spatial,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             name="unet",
@@ -125,6 +127,7 @@ def build_score_unet(
         attention_levels=tuple(cfg.get("attention_levels", ())),
         kernel_size=int(cfg.get("kernel_size", 3)),
         stride=int(cfg.get("stride", 2)),
+        spatial=int(cfg.get("spatial", 2)),
         dtype=dtype,
         use_pallas_attention=use_pallas_attention,
     )

@@ -31,6 +31,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -49,23 +50,28 @@ def channel_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 class ModResidualBlock(nn.Module):
-    """``x + residue(x + project(emb))`` (reference model/nn.py:18-28,146-159)."""
+    """``x + residue(x + project(emb))`` (reference model/nn.py:18-28,146-159).
+
+    Works for any spatial rank: input is [B, *spatial, C].
+    """
 
     channels: int
     kernel_size: int = 3
+    spatial: int = 2
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
-        pad = [(k // 2, k // 2)] * 2
-        # project: Linear(mod_features -> C), broadcast over H, W
+        kern = (k,) * self.spatial
+        pad = [(k // 2, k // 2)] * self.spatial
+        # project: Linear(mod_features -> C), broadcast over spatial dims
         proj = nn.Dense(self.channels, dtype=self.dtype, name="project")(emb)
-        h = x + proj[:, None, None, :]
+        h = x + proj.reshape(proj.shape[0], *(1,) * self.spatial, self.channels)
         h = channel_norm(h)
-        h = nn.Conv(self.channels, (k, k), padding=pad, dtype=self.dtype, name="conv0")(h)
+        h = nn.Conv(self.channels, kern, padding=pad, dtype=self.dtype, name="conv0")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.channels, (k, k), padding=pad, dtype=self.dtype, name="conv1")(h)
+        h = nn.Conv(self.channels, kern, padding=pad, dtype=self.dtype, name="conv1")(h)
         return x + h
 
 
@@ -86,8 +92,8 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, hgt, wid, c = x.shape
-        t = hgt * wid
+        b, *spatial_shape, c = x.shape
+        t = int(np.prod(spatial_shape))
         h = x.reshape(b, t, c)
         h_norm = channel_norm(h)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h_norm)
@@ -110,14 +116,26 @@ class AttentionBlock(nn.Module):
             out = jnp.einsum("bhts,bshc->bthc", weights.astype(v.dtype), v)
             out = out.reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
-        return ((h + out)).reshape(b, hgt, wid, c)
+        return ((h + out)).reshape(b, *spatial_shape, c)
+
+
+def nearest_upsample(x: jnp.ndarray, s: int, spatial: int) -> jnp.ndarray:
+    """Nearest-neighbour upsample by s along every spatial dim of
+    [B, *spatial, C], as reshape-broadcast (no gather)."""
+    b, *sp, c = x.shape
+    # interleave a broadcast axis after each spatial dim
+    shape_in = [b] + [d for dim in sp for d in (dim, 1)] + [c]
+    shape_bcast = [b] + [d for dim in sp for d in (dim, s)] + [c]
+    x = x.reshape(shape_in)
+    x = jnp.broadcast_to(x, shape_bcast)
+    return x.reshape([b] + [dim * s for dim in sp] + [c])
 
 
 class UNet(nn.Module):
-    """Modulated N-level UNet (2-D spatial), NHWC.
+    """Modulated N-level UNet, channels-last [B, *spatial, C], spatial
+    rank 1/2/3 (reference model/nn.py:108-218 is N-d the same way).
 
-    Arguments mirror the reference constructor (model/nn.py:108-218); the
-    production architecture is configs/sda_unet.yml: hidden_channels
+    The production architecture is configs/sda_unet.yml: hidden_channels
     (128,128,256,384,512), 3 blocks/level, attention at level 4, 3x3 kernels,
     stride 2, SiLU.
     """
@@ -129,6 +147,7 @@ class UNet(nn.Module):
     attention_levels: Sequence[int] = ()
     kernel_size: int = 3
     stride: int = 2
+    spatial: int = 2
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = False
 
@@ -136,10 +155,13 @@ class UNet(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         nlev = len(self.hidden_blocks)
         k = self.kernel_size
-        pad = [(k // 2, k // 2)] * 2
+        sd = self.spatial
+        kern = (k,) * sd
+        pad = [(k // 2, k // 2)] * sd
         s = self.stride
         emb = emb.astype(self.dtype)
         x = x.astype(self.dtype)
+        assert x.ndim == sd + 2, (x.shape, sd)
 
         def level_blocks(i: int, stage: str):
             blocks = []
@@ -148,6 +170,7 @@ class UNet(nn.Module):
                     ModResidualBlock(
                         self.hidden_channels[i],
                         kernel_size=k,
+                        spatial=sd,
                         dtype=self.dtype,
                         name=f"{stage}{i}_block{bi}",
                     )
@@ -168,12 +191,12 @@ class UNet(nn.Module):
         for i in range(nlev):
             if i == 0:
                 x = nn.Conv(
-                    self.hidden_channels[0], (k, k), padding=pad,
+                    self.hidden_channels[0], kern, padding=pad,
                     dtype=self.dtype, name="head0",
                 )(x)
             else:
                 x = nn.Conv(
-                    self.hidden_channels[i], (k, k), strides=(s, s), padding=pad,
+                    self.hidden_channels[i], kern, strides=(s,) * sd, padding=pad,
                     dtype=self.dtype, name=f"head{i}",
                 )(x)
             for block in level_blocks(i, "down"):
@@ -187,19 +210,15 @@ class UNet(nn.Module):
                 x = block(x, emb) if isinstance(block, ModResidualBlock) else block(x)
             if i > 0:
                 x = channel_norm(x)
-                # nearest-neighbour upsample as reshape-broadcast
-                b, hh, ww, c = x.shape
-                x = jnp.broadcast_to(
-                    x[:, :, None, :, None, :], (b, hh, s, ww, s, c)
-                ).reshape(b, hh * s, ww * s, c)
+                x = nearest_upsample(x, s, sd)
                 x = nn.Conv(
-                    self.hidden_channels[i - 1], (k, k), padding=pad,
+                    self.hidden_channels[i - 1], kern, padding=pad,
                     dtype=self.dtype, name=f"tail{i}",
                 )(x)
                 x = x + memory.pop()
             else:
                 x = nn.Conv(
-                    self.out_channels, (k, k), padding=pad,
+                    self.out_channels, kern, padding=pad,
                     dtype=self.dtype, name="tail0",
                 )(x)
         return x
