@@ -68,8 +68,33 @@ class InfiniteSampler:
             idx += self.stride
 
 
+class AbstractSDADataset:
+    """Interface for windowed SDA training datasets (reference
+    dataset.py:43-57): a dataset is an indexable of [window, C, H, W] (or
+    flattened) items with ``window``/``flatten``/``num_features`` metadata.
+    Register implementations under a name to use them from configs."""
+
+    @property
+    def window(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def flatten(self) -> bool:
+        raise NotImplementedError
+
+    @property
+    def num_features(self) -> int:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def load_window(self, i: int):
+        raise NotImplementedError
+
+
 @register("cosmo_dataset")
-class WindowDataset:
+class WindowDataset(AbstractSDADataset):
     """Sliding-time-window dataset over an HDF5 [T, C, H, W] array."""
 
     def __init__(

@@ -119,6 +119,13 @@ class GaussianGuidance:
         return eps - sigma.astype(x.dtype) * grad
 
 
+# Compatibility alias: the reference's legacy GaussianScore module
+# (model/score.py:73-122) implements the same mathematics as
+# GaussianGuidance's detached/exact modes; one implementation serves both
+# (SURVEY.md §2.1 recommends keeping a single copy).
+GaussianScore = GaussianGuidance
+
+
 def per_channel(values, num_channels: int) -> jnp.ndarray:
     """Broadcastable [1, 1, 1, C] array from a scalar or per-channel sequence
     (reference exp/downscaling.py:221-242)."""

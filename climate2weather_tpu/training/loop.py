@@ -38,8 +38,10 @@ from climate2weather_tpu.training.ema import rate_key
 from climate2weather_tpu.training.lr import make_schedule
 from climate2weather_tpu.training.state import (
     init_train_state,
+    make_device_data_train_step,
     make_optimizer,
     make_train_step,
+    upload_dataset,
 )
 from climate2weather_tpu.utils.easydict import EasyDict
 from climate2weather_tpu.utils.logging import RunLogger, trajectory_to_imgrid
@@ -71,6 +73,7 @@ def training_loop(
     mesh=None,
     compute_dtype=jnp.bfloat16,
     loader_threads=2,
+    device_data="auto",
 ):
     prev_status_time = time.time()
     # interval == 0 disables the corresponding side effect
@@ -131,10 +134,37 @@ def training_loop(
     optimizer = make_optimizer(schedule, optimizer_kwargs)
     ema_rates = tuple((ema_kwargs or {}).get("rates", (0.9999,)))
     state = init_train_state(params, optimizer, ema_rates)
-    train_step = make_train_step(
-        net.apply, process, optimizer, ema_rates, loss_scaling,
-        channels_first=True,
-    )
+
+    # -- device-resident dataset decision ----------------------------------
+    # If the whole [T, C, H, W] store fits a configurable HBM budget, keep
+    # it on device and gather windows in HBM: only int32 indices cross the
+    # host link per step.  Essential when the host-device link is slow
+    # (measured ~60 MB/s on this relay vs 100+ MB per batch).
+    window = int(dataset_kwargs.train.window)
+    data_nbytes = int(np.prod(train_dataset.raw_data_shape)) * 4
+    budget = int(os.environ.get("C2W_DEVICE_DATA_BUDGET", 8 << 30))
+    if device_data == "auto":
+        if data_nbytes <= budget:
+            device_data_dtype = jnp.float32
+        elif data_nbytes // 2 <= budget:
+            device_data_dtype = jnp.bfloat16
+        else:
+            device_data_dtype = None
+    elif device_data:
+        device_data_dtype = jnp.float32 if data_nbytes <= budget else jnp.bfloat16
+    else:
+        device_data_dtype = None
+    use_device_data = device_data_dtype is not None
+
+    if use_device_data:
+        train_step = make_device_data_train_step(
+            net.apply, process, optimizer, window, ema_rates, loss_scaling
+        )
+    else:
+        train_step = make_train_step(
+            net.apply, process, optimizer, ema_rates, loss_scaling,
+            channels_first=True,
+        )
 
     # -- resume ------------------------------------------------------------
     ckpt_io = CheckpointIO(state=state)
@@ -163,12 +193,20 @@ def training_loop(
     # -- compile the sharded train step ------------------------------------
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    train_step = jax.jit(
-        train_step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    if use_device_data:
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+    else:
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
     state = jax.device_put(state, rep)
 
     # -- input pipeline ----------------------------------------------------
@@ -183,13 +221,34 @@ def training_loop(
         start_idx=start_ndata,
     )
     local_batch = batch_size // jax.process_count()
-    loader = PrefetchLoader(
-        train_dataset,
-        sampler,
-        batch_size=local_batch // num_accumulation_rounds,
-        rounds=num_accumulation_rounds,
-        num_threads=loader_threads,
-    ).start()
+    if use_device_data:
+        print(
+            f"Uploading dataset to device HBM "
+            f"({data_nbytes / 2**30:.2f} GiB fp32 as "
+            f"{jnp.dtype(device_data_dtype).name}) ..."
+        )
+        source = (
+            train_dataset._cache
+            if train_dataset._cache is not None
+            else train_dataset._reader()
+        )
+        device_data_arr = upload_dataset(
+            source,
+            train_dataset.raw_data_shape[0],
+            dtype=device_data_dtype,
+            sharding=rep,
+        )
+        index_iter = iter(sampler)
+        loader = None
+        print("Dataset resident on device; per-step transfer is indices only.")
+    else:
+        loader = PrefetchLoader(
+            train_dataset,
+            sampler,
+            batch_size=local_batch // num_accumulation_rounds,
+            rounds=num_accumulation_rounds,
+            num_threads=loader_threads,
+        ).start()
 
     # -- snapshot config (data-only; rebuildable without pickles) ----------
     snap_config = {
@@ -339,18 +398,32 @@ def training_loop(
 
         # ---- optimization step -------------------------------------------
         batch_start_time = time.time()
-        batch = next(loader)  # [rounds, B_local, H, W, w*C]
-        if jax.process_count() > 1:
-            global_shape = (batch.shape[0], batch_size // num_accumulation_rounds) + batch.shape[2:]
-            batch = jax.make_array_from_process_local_data(bsh, batch, global_shape)
-        else:
-            batch = jax.device_put(batch, bsh)
         rng, step_rng = jax.random.split(rng)
-        state, loss = train_step(state, batch, step_rng)
+        if use_device_data:
+            idx = np.fromiter(
+                (next(index_iter) for _ in range(local_batch)), np.int32,
+                count=local_batch,
+            ).reshape(num_accumulation_rounds, -1)
+            idx = jax.device_put(idx, bsh)
+            state, loss = train_step(state, device_data_arr, idx, step_rng)
+        else:
+            batch = next(loader)  # [rounds, B_local, w*C, H, W]
+            if jax.process_count() > 1:
+                global_shape = (
+                    batch.shape[0],
+                    batch_size // num_accumulation_rounds,
+                ) + batch.shape[2:]
+                batch = jax.make_array_from_process_local_data(
+                    bsh, batch, global_shape
+                )
+            else:
+                batch = jax.device_put(batch, bsh)
+            state, loss = train_step(state, batch, step_rng)
         losses_accum.append(loss)  # async; no host sync in the hot loop
         cur_ndata += batch_size
         cumulative_training_time += time.time() - batch_start_time
 
-    loader.stop()
+    if loader is not None:
+        loader.stop()
     print("Training complete.")
     return state

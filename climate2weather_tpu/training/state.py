@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -130,3 +131,107 @@ def make_train_step(
         )
 
     return train_step
+
+
+def make_device_data_train_step(
+    eps_model_apply: Callable,
+    process,
+    optimizer: optax.GradientTransformation,
+    window: int,
+    ema_rates: Sequence[float] = (0.9999,),
+    loss_scaling: float = 1.0,
+) -> Callable:
+    """Train step over a device-resident dataset: windows are gathered in
+    HBM, so only [rounds, B] int32 indices cross the host-device link.
+
+    This is the TPU-first replacement for per-step batch shipping — on hosts
+    with slow interconnect to the accelerator the 100+ MB/step transfer
+    dominates, while an on-device gather of the same bytes runs at HBM
+    bandwidth (<1 ms).  The production 8-year COSMO dataset is ~18 GB fp32 /
+    ~9 GB bf16 and fits HBM alongside the 72M-param training state.
+
+    ``train_step(state, data, idx, rng)`` with data [T, C, H, W] (any float
+    dtype) and idx [rounds, B] window-start frames.
+    """
+
+    def loss_fn(params, data, idx, rng):
+        w = window
+        frame_idx = idx[:, None] + jnp.arange(w)[None, :]  # [B, w]
+        xw = jnp.take(data, frame_idx, axis=0)  # [B, w, C, H, W]
+        b = xw.shape[0]
+        # -> NHWC with frame-major flattened channels [B, H, W, w*C]
+        xw = jnp.moveaxis(xw, (1, 2), (3, 4))  # [B, H, W, w, C]
+        xw = xw.reshape(b, xw.shape[1], xw.shape[2], -1).astype(jnp.float32)
+        return (
+            process.loss(
+                rng, lambda xt, t, forcing: eps_model_apply(params, xt, t), xw
+            )
+            * loss_scaling
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, data, idx, rng):
+        rounds = idx.shape[0]
+        rngs = jax.random.split(rng, rounds)
+
+        if rounds == 1:
+            loss, grads = grad_fn(state.params, data, idx[0], rngs[0])
+        else:
+            def accum(carry, inp):
+                idx_r, r = inp
+                loss_i, g_i = grad_fn(state.params, data, idx_r, r)
+                g_sum, l_sum = carry
+                return (jax.tree.map(jnp.add, g_sum, g_i), l_sum + loss_i), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), _ = jax.lax.scan(
+                accum, (zeros, jnp.zeros((), jnp.float32)), (idx, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / rounds, g_sum)
+            loss = l_sum / rounds
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        emas = ema_update(state.emas, params, ema_rates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                emas=emas,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def upload_dataset(
+    data_source,
+    total_frames: int,
+    dtype=jnp.float32,
+    sharding=None,
+    chunk_frames: int = 256,
+):
+    """Upload a [T, C, H, W] dataset to device HBM in chunks.
+
+    ``data_source[i:j]`` must yield float32 numpy blocks (h5 dataset or
+    array).  Returns the device array (replicated under ``sharding``).
+    """
+    shape = (total_frames,) + tuple(data_source.shape[1:])
+    buf = jnp.zeros(shape, dtype)
+    if sharding is not None:
+        buf = jax.device_put(buf, sharding)
+
+    upd = jax.jit(
+        lambda b, chunk, start: jax.lax.dynamic_update_slice(
+            b, chunk.astype(dtype), (start,) + (0,) * (len(shape) - 1)
+        ),
+        donate_argnums=(0,),
+    )
+    for t0 in range(0, total_frames, chunk_frames):
+        t1 = min(t0 + chunk_frames, total_frames)
+        chunk = jnp.asarray(np.asarray(data_source[t0:t1], np.float32))
+        buf = upd(buf, chunk, t0)
+    return buf
