@@ -85,3 +85,97 @@ def sample_and_check(process, score_fn, noise, **kwargs):
     if bool(jax.device_get(nan_flag)):
         raise FloatingPointError("NaN detected in sample")
     return x
+
+
+def logsnr_time_grid(process, steps: int, grid_points: int = 20001) -> jnp.ndarray:
+    """Times t_0=1..t_steps=0 uniformly spaced in half-log-SNR
+    lambda(t) = log(mu/sigma) — the standard spacing for DPM-Solver, worth
+    roughly a 4x step reduction over uniform-time spacing on this cosine
+    schedule (measured on the exact-Gaussian-score harness)."""
+    import math
+
+    import numpy as np
+
+    # pure-numpy schedule math so this stays a trace-time constant under jit
+    tg = np.linspace(0.0, 1.0, grid_points)
+    eta = process.eta
+    alpha = np.cos(math.acos(math.sqrt(eta)) * tg) ** 2
+    sigma = np.sqrt(1.0 - alpha**2 + eta**2)
+    lam = np.log(alpha) - np.log(sigma)
+    lgrid = np.linspace(lam[-1], lam[0], steps + 1)  # lambda(1) .. lambda(0)
+    t = np.interp(lgrid, lam[::-1], tg[::-1])
+    t[0], t[-1] = 1.0, 0.0
+    return jnp.asarray(t, jnp.float32)
+
+
+def sample_dpmpp2m(
+    process,
+    score_fn: Callable,
+    noise: jnp.ndarray,
+    *,
+    steps: int = 64,
+    rng: Optional[jax.Array] = None,  # unused; signature-compatible
+    proc_x0: Optional[Callable] = None,
+    lambda_spacing: bool = True,
+):
+    """DPM-Solver++(2M) multistep sampler (Lu et al., 2022) — deterministic,
+    second-order in data-prediction space.  Reaches the quality of many more
+    first-order (DDIM/PC-predictor) steps with the same eps model and the
+    same guidance, cutting the per-sample network-evaluation count — the
+    dominant cost of year-scale downscaling (SURVEY.md §3.2 cost model).
+
+    Half-log-SNR lambda(t) = log(mu/sigma); with h_i = lambda_i -
+    lambda_{i-1} and r = h_{i-1}/h_i the update in data space is
+
+        D_i = (1 + 1/(2 r)) x0_i - (1/(2 r)) x0_{i-1}
+        x   = (sigma_i / sigma_{i-1}) x - mu_i (exp(-h_i) - 1) D_i
+
+    (first step: D = x0, the DDIM step).  Steps are spaced uniformly in
+    lambda by default (``lambda_spacing``), uniformly in t otherwise.
+    Returns ``(x, nan_detected)``.
+    """
+    del rng
+    if lambda_spacing:
+        time_steps = logsnr_time_grid(process, steps)
+    else:
+        time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)
+
+    def lam(t):
+        return jnp.log(process.mu(t)) - jnp.log(process.sigma(t))
+
+    def step(carry, ts):
+        x, prev_x0, prev_h, is_first, nan_flag = carry
+        t_prev, t_cur = ts
+        eps = score_fn(x, t_prev)
+        x0 = process.denoise(x, t_prev, eps)
+        if proc_x0 is not None:
+            x0 = proc_x0(x0)
+
+        h = lam(t_cur) - lam(t_prev)
+        r = prev_h / h
+        d_multi = (1.0 + 1.0 / (2.0 * r)).astype(x.dtype) * x0 - (
+            1.0 / (2.0 * r)
+        ).astype(x.dtype) * prev_x0
+        d = jnp.where(is_first, x0, d_multi)
+
+        sigma_ratio = (process.sigma(t_cur) / process.sigma(t_prev)).astype(x.dtype)
+        growth = (-(jnp.expm1(-h)) * process.mu(t_cur)).astype(x.dtype)
+        x = sigma_ratio * x + growth * d
+
+        nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
+        return (x, x0, h, jnp.asarray(False), nan_flag), None
+
+    init = (
+        noise,
+        jnp.zeros_like(noise),
+        jnp.ones((), jnp.float32),
+        jnp.asarray(True),
+        jnp.asarray(False),
+    )
+    (x, _, _, _, nan_flag), _ = jax.lax.scan(
+        step, init, (time_steps[:-1], time_steps[1:])
+    )
+    return x, nan_flag
+
+
+SAMPLERS = {"pc": sample, "dpmpp2m": sample_dpmpp2m}

@@ -107,6 +107,7 @@ def _run_impl(
     s_step: int = 16,
     batch_size: int = 16,
     host_streaming: bool = False,
+    sampler_kind: str = "pc",
 ):
     import jax
     import jax.numpy as jnp
@@ -195,6 +196,16 @@ def _run_impl(
             C,
         )
 
+    from climate2weather_tpu.diffusion.sampler import SAMPLERS
+
+    assert sampler_kind in SAMPLERS, (sampler_kind, sorted(SAMPLERS))
+    sampler_fn = SAMPLERS[sampler_kind]
+    sampler_extra = (
+        dict(corrections=num_corrections, tau=correction_tau)
+        if sampler_kind == "pc"
+        else {}
+    )
+
     @jax.jit
     def sample_one(params, observation, noise, rng):
         score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
@@ -209,14 +220,13 @@ def _run_impl(
             score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
         else:
             score_fn = score
-        return pc_sample(
+        return sampler_fn(
             process,
             score_fn,
             noise,
             steps=num_sampling_steps,
-            corrections=num_corrections,
-            tau=correction_tau,
             rng=rng,
+            **sampler_extra,
         )
 
     print("Starting sampling...")
