@@ -75,22 +75,30 @@ def main():
     y = A(gt)
     eps_fn = make_batched_eps_fn(net.apply)
 
-    # params and y are jit ARGUMENTS (closure capture would embed 72M params
-    # as constants in the HLO)
+    # Production path: the NCHW memory-bounded long sampler (NHWC trajectory
+    # buffers lane-pad 32x at C=4 and OOM at year scale).  params and y are
+    # jit ARGUMENTS (closure capture would embed 72M params as constants).
+    from climate2weather_tpu.diffusion.long_sampler import sample_guided_long
+
     @jax.jit
     def run(params, y, noise, key):
-        score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=chunk)
         guidance = GaussianGuidance(A=A, y=y, std=0.1, gamma=7e-4, exact_grad=False)
-        return pc_sample(
+        return sample_guided_long(
             process,
-            lambda xx, tt: guidance.guided_eps(score, process, xx, tt),
+            eps_fn,
+            params,
             noise,
+            markov_order=markov_order,
+            chunk_size=chunk,
+            guidance=guidance,
             steps=steps,
             corrections=0,
             rng=key,
         )
 
-    noise = jax.random.normal(jax.random.fold_in(rng, 2), gt.shape)
+    noise = jax.random.normal(
+        jax.random.fold_in(rng, 2), (L, num_features, res, res)
+    )
     key = jax.random.fold_in(rng, 3)
 
     def sync(arr):

@@ -1,0 +1,259 @@
+"""Memory-bounded guided sampling for year-scale trajectories.
+
+The straightforward sampler (diffusion/sampler.py) carries the trajectory as
+NHWC [L, H, W, C]; with C=4 variables the TPU tiles the minor dimension to
+the 128-wide lane, padding every trajectory-sized buffer 32x — a year of
+hourly fields (2.3 GB logical) becomes 73 GB physical and cannot fit a chip.
+
+This module restructures guided PC sampling so that
+
+- every trajectory-sized buffer is **NCHW** [L, C, H, W] (minor dims are the
+  128-point spatial axes — perfectly lane-tiled, zero padding);
+- the network still runs NHWC on lane-friendly [B, H, W, w*C] window chunks
+  (transposed per chunk, ~1 ms at HBM bandwidth);
+- one guided predictor step is three chunked passes with ~3 live
+  trajectory buffers regardless of L:
+
+  1. **window pass** — eps <- UNet over Markov windows, chunked scan
+     writing a single [L, C, H, W] buffer in place;
+  2. **observation-space guidance** — the observation operator A (spatial
+     avg-pool + temporal striding) is linear, so the likelihood error uses
+     A(x0) = (A(x) - sigma*A(eps))/mu with A computed by gathering only the
+     observed frames: everything lives on the tiny observation grid;
+  3. **frame-chunked update** — guided eps, x0 prediction, and DDIM
+     re-noising applied slice-wise into one output buffer (Langevin
+     correctors likewise, with the global step size accumulated chunk-wise).
+
+Mathematically identical to sampler.sample + guidance.guided_eps with
+``exact_grad=False`` (the production mode); property-tested against them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from climate2weather_tpu.diffusion.guidance import (
+    GaussianGuidance,
+    SpatioTemporalCoarsening,
+)
+
+
+def nchw_window_pass(
+    apply_fn: Callable,
+    params,
+    x: jnp.ndarray,
+    t,
+    markov_order: int,
+    chunk_size: int,
+    window_sharding=None,
+) -> jnp.ndarray:
+    """eps prediction over an NCHW trajectory, chunked over windows.
+
+    ``x``: [L, C, H, W].  Gathers [B, w, C, H, W] frame chunks, transposes
+    to the network's NHWC window layout [B, H, W, w*C] (frame-major
+    channels), and writes centers/edges into one [L, C, H, W] buffer.
+    """
+    k = markov_order
+    w = 2 * k + 1
+    B = int(chunk_size)
+    L, C, H, W = x.shape
+    n = L - w + 1
+    if n < B:
+        B = n
+    n_chunks = -(-n // B)
+
+    def body(out, chunk_idx):
+        win_start = jnp.minimum(chunk_idx * B, n - B)
+        win_idx = win_start + jnp.arange(B)
+        frame_idx = win_idx[:, None] + jnp.arange(w)[None, :]  # [B, w]
+        xw = jnp.take(x, frame_idx, axis=0)  # [B, w, C, H, W]
+        xw = jnp.moveaxis(xw, (1, 2), (3, 4)).reshape(B, H, W, w * C)
+        if window_sharding is not None:
+            xw = jax.lax.with_sharding_constraint(xw, window_sharding)
+        o = apply_fn(params, xw, t).astype(x.dtype)  # [B, H, W, w*C]
+        wo = o.reshape(B, H, W, w, C)
+        centers = jnp.moveaxis(wo[:, :, :, k, :], 3, 1)  # [B, C, H, W]
+        out = jax.lax.dynamic_update_slice(
+            out, centers, (k + win_start, 0, 0, 0)
+        )
+        if k > 0:
+            fe = jnp.transpose(wo[0, :, :, :k, :], (2, 3, 0, 1))  # [k, C, H, W]
+            le = jnp.transpose(wo[B - 1, :, :, w - k :, :], (2, 3, 0, 1))
+            out = jax.lax.cond(
+                chunk_idx == 0,
+                lambda o: jax.lax.dynamic_update_slice(o, fe, (0, 0, 0, 0)),
+                lambda o: o,
+                out,
+            )
+            out = jax.lax.cond(
+                chunk_idx == n_chunks - 1,
+                lambda o: jax.lax.dynamic_update_slice(o, le, (k + n, 0, 0, 0)),
+                lambda o: o,
+                out,
+            )
+        return out, None
+
+    out0 = jnp.zeros_like(x)
+    out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
+    return out
+
+
+def _coarsen_nchw(A: SpatioTemporalCoarsening, arr: jnp.ndarray) -> jnp.ndarray:
+    """A applied to an NCHW trajectory -> [Lo, C, h, w] (gather observed
+    frames, then block-mean; only small arrays materialize)."""
+    L = arr.shape[0]
+    lo = -(-L // A.t_step)
+    obs = jnp.take(arr, jnp.arange(lo) * A.t_step, axis=0)  # [Lo, C, H, W]
+    s = A.s_step
+    Lo, C, H, W = obs.shape
+    return obs.reshape(Lo, C, H // s, s, W // s, s).mean(axis=(3, 5))
+
+
+def _obs_err_nchw(guidance, process, x, eps, t):
+    """(y - A(x0)) / var in observation space [Lo, C, h, w] via linearity."""
+    mu = process.mu(t)
+    sigma = process.sigma(t)
+    ax = _coarsen_nchw(guidance.A, x).astype(jnp.float32)
+    aeps = _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
+    a_x0 = (ax - sigma * aeps) / mu
+    # guidance.y and std/gamma are NHWC-shaped ([Lo, h, w, C] / [1,1,1,C]);
+    # move to NCHW
+    y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
+    std = jnp.asarray(guidance.std, jnp.float32)
+    gamma = jnp.asarray(guidance.gamma, jnp.float32)
+    if std.ndim:
+        std = jnp.moveaxis(std, 3, 1)
+    if gamma.ndim:
+        gamma = jnp.moveaxis(gamma, 3, 1)
+    var = std**2 + gamma * (sigma / mu) ** 2
+    return (y - a_x0) / var
+
+
+def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
+    """eps' = eps - sigma * A^T(err)/mu on NCHW frames [f0, f0+F)."""
+    if guidance is None:
+        return eps_chunk
+    A = guidance.A
+    mu = process.mu(t)
+    sigma = process.sigma(t)
+    F = eps_chunk.shape[0]
+    frames = f0 + jnp.arange(F)
+    obs_idx = frames // A.t_step
+    mask = (frames % A.t_step == 0).astype(jnp.float32)
+    err_rows = jnp.take(err, jnp.clip(obs_idx, 0, err.shape[0] - 1), axis=0)
+    s = A.s_step
+    Fr, C, h, w = err_rows.shape
+    up = jnp.broadcast_to(
+        err_rows[:, :, :, None, :, None] / (s * s), (Fr, C, h, s, w, s)
+    ).reshape(Fr, C, h * s, w * s)
+    grad = up * mask[:, None, None, None] / mu
+    return eps_chunk - (sigma * grad).astype(eps_chunk.dtype)
+
+
+def sample_guided_long(
+    process,
+    eps_apply: Callable,
+    params,
+    noise: jnp.ndarray,
+    *,
+    markov_order: int,
+    chunk_size: int = 128,
+    guidance: Optional[GaussianGuidance] = None,
+    steps: int = 64,
+    corrections: int = 0,
+    tau: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    frame_chunk: int = 256,
+    window_sharding=None,
+):
+    """Guided PC sampling with memory bounded in the trajectory length.
+
+    ``noise`` is NCHW [L, C, H, W]; ``eps_apply(params, windows_nhwc, t)``
+    is the window network; ``guidance`` (optional) must use the detached
+    analytic mode.  Returns ``(x_nchw, nan_detected)``.
+    """
+    if guidance is not None:
+        assert not guidance.exact_grad, (
+            "sample_guided_long implements the detached guidance mode"
+        )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    L = noise.shape[0]
+    F = min(frame_chunk, L)
+    n_fchunks = -(-L // F)
+    dt = 1.0 / steps
+    time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)[:-1]
+
+    def window_pass(x, t):
+        return nchw_window_pass(
+            eps_apply, params, x, t, markov_order, chunk_size, window_sharding
+        )
+
+    def frame_pass(x, eps, err, t, t2, delta=None, z_key=None):
+        mu = process.mu(t)
+        sigma = process.sigma(t)
+        mu2 = process.mu(t2)
+        sigma2 = process.sigma(t2)
+
+        def body(out, ci):
+            f0 = jnp.minimum(ci * F, L - F)
+            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t)
+            if delta is None:
+                x0 = (x_c - sigma.astype(x_c.dtype) * eg) / mu.astype(x_c.dtype)
+                new = mu2.astype(x_c.dtype) * x0 + sigma2.astype(x_c.dtype) * eg
+            else:
+                z = jax.random.normal(
+                    jax.random.fold_in(z_key, ci), x_c.shape, x_c.dtype
+                )
+                new = x_c - (
+                    delta.astype(x_c.dtype) * eg
+                    + jnp.sqrt(2.0 * delta).astype(x_c.dtype) * z
+                ) * sigma2.astype(x_c.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0), None
+
+        out0 = jnp.zeros_like(x)
+        out, _ = jax.lax.scan(body, out0, jnp.arange(n_fchunks))
+        return out
+
+    def guided_sumsq(eps, err, t):
+        def body(acc, ci):
+            f0 = jnp.minimum(ci * F, L - F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t)
+            frames = f0 + jnp.arange(F)
+            fresh = (frames >= ci * F).astype(jnp.float32)
+            ss = jnp.sum(
+                jnp.square(eg.astype(jnp.float32)) * fresh[:, None, None, None]
+            )
+            return acc + ss, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_fchunks))
+        return acc
+
+    def step(carry, t):
+        x, key, nan_flag = carry
+        t2 = t - dt
+
+        eps = window_pass(x, t)
+        err = _obs_err_nchw(guidance, process, x, eps, t) if guidance else None
+        x = frame_pass(x, eps, err, t, t2)
+
+        for _ in range(corrections):
+            key, zkey = jax.random.split(key)
+            eps = window_pass(x, t2)
+            err = _obs_err_nchw(guidance, process, x, eps, t2) if guidance else None
+            delta = tau / (guided_sumsq(eps, err, t2) / eps.size)
+            x = frame_pass(x, eps, err, t2, t2, delta=delta, z_key=zkey)
+
+        nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
+        return (x, key, nan_flag), None
+
+    (x, _, nan_flag), _ = jax.lax.scan(
+        step, (noise, rng, jnp.asarray(False)), time_steps
+    )
+    return x, nan_flag

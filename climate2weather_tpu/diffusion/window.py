@@ -167,38 +167,45 @@ class WindowScoreFn:
         if self.remat:
             eval_chunk = jax.checkpoint(eval_chunk)
 
-        def body(carry, chunk_idx):
-            centers, first_edge, last_edge = carry
-            # window indices for this chunk, clamped so padded lanes
-            # re-evaluate the final window (discarded below)
-            win_idx = jnp.clip(chunk_idx * B + jnp.arange(B), 0, n - 1)
+        def body(out, chunk_idx):
+            # last chunk is shifted back to cover exactly the final B
+            # windows (duplicate evals instead of padded lanes) so every
+            # write fits the single output buffer
+            win_start = jnp.minimum(chunk_idx * B, n - B)
+            win_idx = win_start + jnp.arange(B)
             frame_idx = win_idx[:, None] + jnp.arange(w)[None, :]  # [B, w]
             xw = jnp.take(x, frame_idx, axis=0)  # [B, w, H, W, C]
             xw = jnp.moveaxis(xw, 1, 3).reshape(B, H, W, w * C)
             xw = self._constrain(xw)
-            out = eval_chunk(self.params, xw, t).astype(x.dtype)  # [B, H, W, w*C]
-            wo = out.reshape(B, H, W, w, C)
-            centers = jax.lax.dynamic_update_slice(
-                centers, wo[:, :, :, k, :], (chunk_idx * B, 0, 0, 0)
+            o = eval_chunk(self.params, xw, t).astype(x.dtype)  # [B, H, W, w*C]
+            wo = o.reshape(B, H, W, w, C)
+            # centers write directly into the [L, ...] buffer at offset k
+            out = jax.lax.dynamic_update_slice(
+                out, wo[:, :, :, k, :], (k + win_start, 0, 0, 0)
             )
             if k > 0:
-                fe = jnp.moveaxis(wo[0, :, :, :k, :], 2, 0)
-                le = jnp.moveaxis(wo[B - 1, :, :, w - k:, :], 2, 0)
-                is_first = chunk_idx == 0
-                is_last = chunk_idx == n_chunks - 1
-                first_edge = jnp.where(is_first, fe, first_edge)
-                last_edge = jnp.where(is_last, le, last_edge)
-            return (centers, first_edge, last_edge), None
+                fe = jnp.moveaxis(wo[0, :, :, :k, :], 2, 0)  # frames [0:k]
+                le = jnp.moveaxis(wo[B - 1, :, :, w - k :, :], 2, 0)
+                out = jax.lax.cond(
+                    chunk_idx == 0,
+                    lambda o: jax.lax.dynamic_update_slice(o, fe, (0, 0, 0, 0)),
+                    lambda o: o,
+                    out,
+                )
+                out = jax.lax.cond(
+                    chunk_idx == n_chunks - 1,
+                    lambda o: jax.lax.dynamic_update_slice(
+                        o, le, (k + n, 0, 0, 0)
+                    ),
+                    lambda o: o,
+                    out,
+                )
+            return out, None
 
-        centers0 = jnp.zeros((n_chunks * B, H, W, C), x.dtype)
-        edge0 = jnp.zeros((max(k, 1), H, W, C), x.dtype)
-        (centers, first_edge, last_edge), _ = jax.lax.scan(
-            body, (centers0, edge0, edge0), jnp.arange(n_chunks)
-        )
-        centers = centers[:n]
-        if k == 0:
-            return centers
-        return jnp.concatenate([first_edge, centers, last_edge], axis=0)
+        assert n >= B, (n, B)  # guarded by __call__ (unchunked path otherwise)
+        out0 = jnp.zeros((L, H, W, C), x.dtype)
+        out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
+        return out
 
 
 def make_batched_eps_fn(apply_fn: Callable) -> Callable:

@@ -108,6 +108,7 @@ def _run_impl(
     batch_size: int = 16,
     host_streaming: bool = False,
     sampler_kind: str = "pc",
+    long_trajectory_threshold: int = 512,
 ):
     import jax
     import jax.numpy as jnp
@@ -205,29 +206,64 @@ def _run_impl(
         if sampler_kind == "pc"
         else {}
     )
+    # Long trajectories use the NCHW memory-bounded sampler: NHWC trajectory
+    # buffers with C=4 lane-pad 32x on TPU and blow HBM at year scale
+    # (diffusion/long_sampler.py).
+    use_long = (
+        sampler_kind == "pc"
+        and not use_exact_grad
+        and not host_streaming
+        and L > long_trajectory_threshold
+    )
+    if use_long:
+        from climate2weather_tpu.diffusion.long_sampler import sample_guided_long
 
-    @jax.jit
-    def sample_one(params, observation, noise, rng):
-        score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
-        if do_condition:
-            guidance = GaussianGuidance(
-                A=A,
-                y=observation,
-                std=sigma,
-                gamma=gamma,
-                exact_grad=use_exact_grad,
+        @jax.jit
+        def sample_one(params, observation, noise_nchw, rng):
+            guidance = (
+                GaussianGuidance(
+                    A=A, y=observation, std=sigma, gamma=gamma, exact_grad=False
+                )
+                if do_condition
+                else None
             )
-            score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
-        else:
-            score_fn = score
-        return sampler_fn(
-            process,
-            score_fn,
-            noise,
-            steps=num_sampling_steps,
-            rng=rng,
-            **sampler_extra,
-        )
+            return sample_guided_long(
+                process,
+                eps_fn,
+                params,
+                noise_nchw,
+                markov_order=markov_order,
+                chunk_size=batch_size,
+                guidance=guidance,
+                steps=num_sampling_steps,
+                corrections=num_corrections,
+                tau=correction_tau,
+                rng=rng,
+            )
+    else:
+
+        @jax.jit
+        def sample_one(params, observation, noise, rng):
+            score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
+            if do_condition:
+                guidance = GaussianGuidance(
+                    A=A,
+                    y=observation,
+                    std=sigma,
+                    gamma=gamma,
+                    exact_grad=use_exact_grad,
+                )
+                score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
+            else:
+                score_fn = score
+            return sampler_fn(
+                process,
+                score_fn,
+                noise,
+                steps=num_sampling_steps,
+                rng=rng,
+                **sampler_extra,
+            )
 
     print("Starting sampling...")
     for nsmpl in range(num_samples_local):
@@ -235,7 +271,9 @@ def _run_impl(
         print(f"[Rank {rank}] Generating sample {sample_id}...")
         key = jax.random.PRNGKey(derive_seed(seed, "sample", sample_id))
         nkey, skey = jax.random.split(key)
-        noise = jax.random.normal(nkey, (L, H, W, C), jnp.float32)
+        noise = jax.random.normal(
+            nkey, (L, C, H, W) if use_long else (L, H, W, C), jnp.float32
+        )
         import time as _time
 
         t0 = _time.time()
@@ -274,6 +312,8 @@ def _run_impl(
         else:
             gen, nan_flag = sample_one(params, observation, noise, skey)
             gen = np.asarray(jax.device_get(gen), np.float32)
+            if use_long:  # NCHW -> NHWC for the common writer path below
+                gen = np.moveaxis(gen, 1, 3)
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "

@@ -1,0 +1,99 @@
+"""Memory-bounded long sampler (NCHW) == straightforward sampler (NHWC)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climate2weather_tpu.diffusion import (
+    GaussianGuidance,
+    SpatioTemporalCoarsening,
+    VPCosineProcess,
+)
+from climate2weather_tpu.diffusion.long_sampler import (
+    nchw_window_pass,
+    sample_guided_long,
+)
+from climate2weather_tpu.diffusion.sampler import sample
+from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
+
+
+def to_nchw(x):
+    return jnp.moveaxis(x, 3, 1)
+
+
+def to_nhwc(x):
+    return np.moveaxis(np.asarray(x), 1, 3)
+
+
+@pytest.fixture
+def setup(tiny_net, rng):
+    net, params, C, window = tiny_net
+    proc = VPCosineProcess()
+    k = window // 2
+    L = 13
+    noise = jax.random.normal(rng, (L, 16, 16, C))
+    eps_fn = make_batched_eps_fn(net.apply)
+    sf = WindowScoreFn(eps_fn, params, k, chunk_size=4)
+    A = SpatioTemporalCoarsening(s_step=4, t_step=3)
+    gt = jax.random.normal(jax.random.fold_in(rng, 1), (L, 16, 16, C))
+    y = A(gt)
+    guidance = GaussianGuidance(
+        A=A, y=y, std=jnp.asarray([0.2, 0.3]).reshape(1, 1, 1, 2),
+        gamma=7e-4, exact_grad=False,
+    )
+    return proc, eps_fn, params, k, sf, guidance, noise
+
+
+def test_nchw_window_pass_matches_window_score(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want = sf(noise, jnp.float32(0.4))
+    got = nchw_window_pass(eps_fn, params, to_nchw(noise), jnp.float32(0.4), k, 4)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), atol=2e-5)
+
+
+def test_long_matches_plain_guided(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want, nan_w = sample(
+        proc, lambda x, t: guidance.guided_eps(sf, proc, x, t), noise, steps=4
+    )
+    got, nan_g = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan_w) and not bool(nan_g)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_long_matches_plain_unguided(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want, _ = sample(proc, sf, noise, steps=4)
+    got, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=4, frame_chunk=6,
+    )
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_long_with_corrections_runs(setup, rng):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    got, nan = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance,
+        steps=2, corrections=1, tau=0.5, rng=rng, frame_chunk=5,
+    )
+    assert not bool(nan)
+    assert got.shape == to_nchw(noise).shape
+
+
+def test_single_step_relative_match(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want, _ = sample(
+        proc, lambda x, t: guidance.guided_eps(sf, proc, x, t), noise, steps=1
+    )
+    got, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=1, frame_chunk=5,
+    )
+    # values are ~1/mu(1)=1000x amplified after one step; compare relatively
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=1e-4, atol=1e-5)
