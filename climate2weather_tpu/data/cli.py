@@ -97,6 +97,26 @@ def to_normed_h5(merged_path, quantile_path, out_path, norm_mode):
     print(f"Wrote {out_path}")
 
 
+@cli.command("debias")
+@click.option("--model-path", required=True, help="Biased climate-model file")
+@click.option("--reference-path", required=True, help="Reanalysis reference file")
+@click.option("--target-path", default=None,
+              help="File to transform (default: model-path)")
+@click.option("--out-path", required=True)
+@click.option("--n-quantiles", default=199, show_default=True)
+def debias_cmd(model_path, reference_path, target_path, out_path, n_quantiles):
+    """Quantile-mapping bias correction of climate inputs (produces the
+    'qm-debiased' conditioning files of the clim-downscaling experiments)."""
+    from climate2weather_tpu.data.debias import debias
+
+    model = open_grid(model_path)
+    ref = open_grid(reference_path)
+    target = open_grid(target_path) if target_path else None
+    out = debias(model, ref, target, n_quantiles)
+    out.to_file(out_path)
+    print(f"Wrote {out_path}")
+
+
 @cli.command("preproc-all")
 @click.option("--raw-dir", required=True,
               help="Directory with per-variable subdirs of grid files")
