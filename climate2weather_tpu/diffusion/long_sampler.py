@@ -257,3 +257,90 @@ def sample_guided_long(
         step, (noise, rng, jnp.asarray(False)), time_steps
     )
     return x, nan_flag
+
+
+def sample_dpmpp2m_long(
+    process,
+    eps_apply: Callable,
+    params,
+    noise: jnp.ndarray,
+    *,
+    markov_order: int,
+    chunk_size: int = 128,
+    guidance: Optional[GaussianGuidance] = None,
+    steps: int = 64,
+    rng: Optional[jax.Array] = None,
+    frame_chunk: int = 256,
+    window_sharding=None,
+):
+    """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
+    memory-bounded form: one extra [L, C, H, W] buffer carries the previous
+    x0 prediction.  log-SNR step spacing; detached guidance only."""
+    if guidance is not None:
+        assert not guidance.exact_grad
+    del rng
+    from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
+
+    L = noise.shape[0]
+    F = min(frame_chunk, L)
+    n_fchunks = -(-L // F)
+    time_steps = logsnr_time_grid(process, steps)
+
+    def lam(t):
+        return jnp.log(process.mu(t)) - jnp.log(process.sigma(t))
+
+    def window_pass(x, t):
+        return nchw_window_pass(
+            eps_apply, params, x, t, markov_order, chunk_size, window_sharding
+        )
+
+    def step(carry, ts):
+        x, prev_x0, prev_h, is_first, nan_flag = carry
+        t_prev, t_cur = ts
+        eps = window_pass(x, t_prev)
+        err = (
+            _obs_err_nchw(guidance, process, x, eps, t_prev)
+            if guidance is not None
+            else None
+        )
+
+        mu = process.mu(t_prev)
+        sigma = process.sigma(t_prev)
+        h = lam(t_cur) - lam(t_prev)
+        r = prev_h / h
+        sigma_ratio = (process.sigma(t_cur) / sigma).astype(x.dtype)
+        growth = (-(jnp.expm1(-h)) * process.mu(t_cur)).astype(x.dtype)
+        c_multi_cur = (1.0 + 1.0 / (2.0 * r)).astype(x.dtype)
+        c_multi_prev = (1.0 / (2.0 * r)).astype(x.dtype)
+
+        def body(carry2, ci):
+            out, new_prev = carry2
+            f0 = jnp.minimum(ci * F, L - F)
+            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            p_c = jax.lax.dynamic_slice_in_dim(prev_x0, f0, F)
+            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t_prev)
+            x0 = (x_c - sigma.astype(x_c.dtype) * eg) / mu.astype(x_c.dtype)
+            d = jnp.where(is_first, x0, c_multi_cur * x0 - c_multi_prev * p_c)
+            new = sigma_ratio * x_c + growth * d
+            out = jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0)
+            new_prev = jax.lax.dynamic_update_slice_in_dim(new_prev, x0, f0, 0)
+            return (out, new_prev), None
+
+        (x_new, x0_buf), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x), jnp.zeros_like(x)), jnp.arange(n_fchunks)
+        )
+        nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x_new)))
+        return (x_new, x0_buf, h, jnp.asarray(False), nan_flag), None
+
+    init = (
+        noise,
+        jnp.zeros_like(noise),
+        jnp.ones((), jnp.float32),
+        jnp.asarray(True),
+        jnp.asarray(False),
+    )
+    (x, _, _, _, nan_flag), _ = jax.lax.scan(
+        step, init, (time_steps[:-1], time_steps[1:])
+    )
+    return x, nan_flag

@@ -210,13 +210,15 @@ def _run_impl(
     # buffers with C=4 lane-pad 32x on TPU and blow HBM at year scale
     # (diffusion/long_sampler.py).
     use_long = (
-        sampler_kind == "pc"
-        and not use_exact_grad
+        not use_exact_grad
         and not host_streaming
         and L > long_trajectory_threshold
     )
     if use_long:
-        from climate2weather_tpu.diffusion.long_sampler import sample_guided_long
+        from climate2weather_tpu.diffusion.long_sampler import (
+            sample_dpmpp2m_long,
+            sample_guided_long,
+        )
 
         @jax.jit
         def sample_one(params, observation, noise_nchw, rng):
@@ -227,18 +229,25 @@ def _run_impl(
                 if do_condition
                 else None
             )
+            common = dict(
+                markov_order=markov_order,
+                chunk_size=batch_size,
+                guidance=guidance,
+                steps=num_sampling_steps,
+                rng=rng,
+            )
+            if sampler_kind == "dpmpp2m":
+                return sample_dpmpp2m_long(
+                    process, eps_fn, params, noise_nchw, **common
+                )
             return sample_guided_long(
                 process,
                 eps_fn,
                 params,
                 noise_nchw,
-                markov_order=markov_order,
-                chunk_size=batch_size,
-                guidance=guidance,
-                steps=num_sampling_steps,
                 corrections=num_corrections,
                 tau=correction_tau,
-                rng=rng,
+                **common,
             )
     else:
 

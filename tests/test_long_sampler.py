@@ -12,9 +12,10 @@ from climate2weather_tpu.diffusion import (
 )
 from climate2weather_tpu.diffusion.long_sampler import (
     nchw_window_pass,
+    sample_dpmpp2m_long,
     sample_guided_long,
 )
-from climate2weather_tpu.diffusion.sampler import sample
+from climate2weather_tpu.diffusion.sampler import sample, sample_dpmpp2m
 from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
 
 
@@ -84,6 +85,28 @@ def test_long_with_corrections_runs(setup, rng):
     )
     assert not bool(nan)
     assert got.shape == to_nchw(noise).shape
+
+
+def test_dpmpp_long_matches_plain_dpmpp_unguided(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want, _ = sample_dpmpp2m(proc, sf, noise, steps=6)
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=6, frame_chunk=5,
+    )
+    assert not bool(nan)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_dpmpp_long_guided_runs(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan)
+    assert got.shape == to_nchw(noise).shape
+    assert np.all(np.isfinite(np.asarray(got)))
 
 
 def test_single_step_relative_match(setup):

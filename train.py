@@ -53,6 +53,7 @@ def _parse_ndata_cb(ctx, param, value):
 @click.option('--valid',         'valid',        callback=_parse_ndata_cb, default='1Mi', show_default=True)
 @click.option('--slice-data',    'slice_data',   callback=_parse_ndata_cb, default=None)
 @click.option('--seed',          'seed',         type=int, default=0, show_default=True)
+@click.option('--ema-rates',     'ema_rates',    type=str, default='0.9999', show_default=True, help='Comma-separated EMA rates')
 @click.option('--wandb/--no-wandb', 'use_wandb', default=False, show_default=True)
 # fmt: on
 def main(**opts):
@@ -64,7 +65,8 @@ def main(**opts):
 def fabricless_main(
     run_dir, run_id, desc, train_data, valid_data, spatial_res, num_features,
     cache_data, markov_order, model_config, lr, total_ndata, batch, batch_gpu,
-    status, snapshot, checkpoint, logging_, valid, slice_data, seed, use_wandb,
+    status, snapshot, checkpoint, logging_, valid, slice_data, seed, ema_rates,
+    use_wandb,
 ):
     import jax
 
@@ -126,7 +128,10 @@ def fabricless_main(
         class_name="adamw", lr=lr, weight_decay=1e-3, betas=[0.9, 0.999]
     )
     cfg.pipeline_kwargs = EasyDict(class_name="vp_cosine")
-    cfg.ema_kwargs = EasyDict(class_name="standard_ema", rates=[0.9999])
+    cfg.ema_kwargs = EasyDict(
+        class_name="standard_ema",
+        rates=[float(r) for r in str(ema_rates).split(",")],
+    )
     cfg.lr_kwargs = EasyDict(
         func_name="lr/linear", ref_lr=lr, total_ndata=total_ndata
     )
