@@ -272,15 +272,24 @@ def sample_dpmpp2m_long(
     rng: Optional[jax.Array] = None,
     frame_chunk: int = 256,
     window_sharding=None,
+    traj_dtype=None,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
-    x0 prediction.  log-SNR step spacing; detached guidance only."""
+    x0 prediction.  log-SNR step spacing; detached guidance only.
+
+    The multistep method needs ~5 trajectory-sized carries; at the full-year
+    scale that exceeds a 16 GB chip in fp32, so pass
+    ``traj_dtype=jnp.bfloat16`` to halve them (schedule math stays fp32;
+    observation-space guidance is computed in fp32).
+    """
     if guidance is not None:
         assert not guidance.exact_grad
     del rng
     from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
 
+    if traj_dtype is not None:
+        noise = noise.astype(traj_dtype)
     L = noise.shape[0]
     F = min(frame_chunk, L)
     n_fchunks = -(-L // F)

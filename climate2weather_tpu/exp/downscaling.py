@@ -237,8 +237,12 @@ def _run_impl(
                 rng=rng,
             )
             if sampler_kind == "dpmpp2m":
+                # the multistep carry needs ~5 trajectory buffers; go bf16
+                # beyond ~4000 frames to stay within a 16 GB chip
+                traj_dtype = jnp.bfloat16 if L > 4000 else None
                 return sample_dpmpp2m_long(
-                    process, eps_fn, params, noise_nchw, **common
+                    process, eps_fn, params, noise_nchw,
+                    traj_dtype=traj_dtype, **common
                 )
             return sample_guided_long(
                 process,
