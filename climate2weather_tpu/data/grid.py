@@ -181,8 +181,18 @@ class GridDataset:
 
     # -- I/O ----------------------------------------------------------------
     def to_file(self, path: str, dtype: str = "float32") -> None:
-        """Write HDF5 (readable back by :func:`open_grid`); ``.nc`` suffix
-        writes CF-style time metadata so downstream netCDF tools can decode."""
+        """Write an HDF5 file (readable back by :func:`open_grid`) with CF
+        time metadata and HDF5 dimension scales attached, so netCDF-aware
+        tools can recover named dimensions.  When the netCDF4 package is
+        importable (it is not in the base image), a fully conformant netCDF4
+        file is written instead."""
+        try:
+            import netCDF4  # type: ignore
+
+            self._to_netcdf4(path, dtype)
+            return
+        except ImportError:
+            pass
         import h5py
 
         hours, units = _encode_cf_time(self.time)
@@ -190,12 +200,35 @@ class GridDataset:
             tds = f.create_dataset("time", data=hours)
             tds.attrs["units"] = units
             tds.attrs["standard_name"] = "time"
-            f.create_dataset("rlat", data=np.asarray(self.rlat, np.float64))
-            f.create_dataset("rlon", data=np.asarray(self.rlon, np.float64))
+            rlat = f.create_dataset("rlat", data=np.asarray(self.rlat, np.float64))
+            rlon = f.create_dataset("rlon", data=np.asarray(self.rlon, np.float64))
+            for name, ds_ in (("time", tds), ("rlat", rlat), ("rlon", rlon)):
+                ds_.make_scale(name)
             for k, v in self.data_vars.items():
                 d = f.create_dataset(k, data=np.asarray(v, dtype))
                 d.attrs["dims"] = ["time", "rlat", "rlon"]
+                d.dims[0].attach_scale(tds)
+                d.dims[1].attach_scale(rlat)
+                d.dims[2].attach_scale(rlon)
             f.attrs["grid_attrs"] = json.dumps(self.attrs, default=str)
+
+    def _to_netcdf4(self, path: str, dtype: str) -> None:
+        import netCDF4  # type: ignore
+
+        hours, units = _encode_cf_time(self.time)
+        with netCDF4.Dataset(path, "w") as nc:
+            nc.createDimension("time", len(self.time))
+            nc.createDimension("rlat", len(self.rlat))
+            nc.createDimension("rlon", len(self.rlon))
+            tv = nc.createVariable("time", "f8", ("time",))
+            tv[:] = hours
+            tv.units = units
+            nc.createVariable("rlat", "f8", ("rlat",))[:] = self.rlat
+            nc.createVariable("rlon", "f8", ("rlon",))[:] = self.rlon
+            for k, v in self.data_vars.items():
+                nc.createVariable(k, dtype[0] + "4", ("time", "rlat", "rlon"))[
+                    :
+                ] = v
 
     @staticmethod
     def concat_time(parts: Sequence["GridDataset"]) -> "GridDataset":

@@ -24,6 +24,9 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # -march=native is safe: the library is always built on the machine that
+    # runs it (never shipped; *.so is gitignored so a foreign binary cannot
+    # be loaded and SIGILL mid-training).
     src = os.path.join(_SRC_DIR, "loader.cc")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",

@@ -112,6 +112,19 @@ def _coarsen_nchw(A: SpatioTemporalCoarsening, arr: jnp.ndarray) -> jnp.ndarray:
     return obs.reshape(Lo, C, H // s, s, W // s, s).mean(axis=(3, 5))
 
 
+def _param_nchw(value) -> jnp.ndarray:
+    """Scalar / per-channel [C] / NHWC-broadcast [1,1,1,C] likelihood
+    parameter -> a shape broadcastable against NCHW [Lo, C, h, w]."""
+    v = jnp.asarray(value, jnp.float32)
+    if v.ndim == 0:
+        return v
+    if v.ndim == 1:
+        return v.reshape(1, -1, 1, 1)
+    if v.ndim == 4:
+        return jnp.moveaxis(v, 3, 1)
+    raise ValueError(f"unsupported likelihood parameter shape {v.shape}")
+
+
 def _obs_err_nchw(guidance, process, x, eps, t):
     """(y - A(x0)) / var in observation space [Lo, C, h, w] via linearity."""
     mu = process.mu(t)
@@ -119,15 +132,10 @@ def _obs_err_nchw(guidance, process, x, eps, t):
     ax = _coarsen_nchw(guidance.A, x).astype(jnp.float32)
     aeps = _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
     a_x0 = (ax - sigma * aeps) / mu
-    # guidance.y and std/gamma are NHWC-shaped ([Lo, h, w, C] / [1,1,1,C]);
-    # move to NCHW
+    # guidance.y is NHWC-shaped [Lo, h, w, C]; move to NCHW
     y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
-    std = jnp.asarray(guidance.std, jnp.float32)
-    gamma = jnp.asarray(guidance.gamma, jnp.float32)
-    if std.ndim:
-        std = jnp.moveaxis(std, 3, 1)
-    if gamma.ndim:
-        gamma = jnp.moveaxis(gamma, 3, 1)
+    std = _param_nchw(guidance.std)
+    gamma = _param_nchw(guidance.gamma)
     var = std**2 + gamma * (sigma / mu) ** 2
     return (y - a_x0) / var
 

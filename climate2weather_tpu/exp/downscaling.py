@@ -161,8 +161,10 @@ def _run_impl(
     elif observation_path == data_path:
         print(f"Conditioning on observations of the ground truth at {observation_path}")
         observation = A(gt)
+        # clamp like the reference's slice(0, num_hours, t_step): the loaded
+        # dataset may hold fewer than num_hours frames
         observation_ds = cosmo.coarsen_mean(s_step).isel_time(
-            np.arange(0, num_hours, t_step)
+            np.arange(0, min(num_hours, L), t_step)
         )
     else:
         print(f"Conditioning on provided observation at {observation_path}")
@@ -325,8 +327,6 @@ def _run_impl(
         else:
             gen, nan_flag = sample_one(params, observation, noise, skey)
             gen = np.asarray(jax.device_get(gen), np.float32)
-            if use_long:  # NCHW -> NHWC for the common writer path below
-                gen = np.moveaxis(gen, 1, 3)
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "
@@ -335,8 +335,10 @@ def _run_impl(
         if bool(jax.device_get(nan_flag)):
             raise FloatingPointError("NaN detected in sample")
 
+        # the long path already returns the writer's [L, C, H, W] layout
+        gen_lchw = gen if use_long else data_pipeline.nhwc_to_nchw(gen)
         sample_ds = data_pipeline.np_to_ds(
-            data_pipeline.nhwc_to_nchw(gen), reference_ds=cosmo, data_vars=data_vars
+            gen_lchw, reference_ds=cosmo, data_vars=data_vars
         )
         sample_ds = data_pipeline.unnormalize_ds(
             sample_ds, quantile_path, data_norm_mode

@@ -103,11 +103,11 @@ def rapsd(field: np.ndarray, d: float = 1.0, normalize: bool = True):
     yy, xx = np.indices((L, L))
     r = np.sqrt((yy - yc) ** 2 + (xx - xc) ** 2)
     n_bins = L // 2
-    psd = np.zeros(n_bins)
-    for i in range(n_bins):
-        mask = (r >= i - 0.5) & (r < i + 0.5) if i > 0 else r < 0.5
-        vals = psd2[mask]
-        psd[i] = vals.mean() if vals.size else 0.0
+    # single-pass annulus means: bin i collects radius in [i-0.5, i+0.5)
+    idx = np.round(r).astype(np.int64).ravel()
+    counts = np.bincount(idx, minlength=n_bins)[:n_bins]
+    sums = np.bincount(idx, weights=psd2.ravel(), minlength=n_bins)[:n_bins]
+    psd = np.divide(sums, counts, out=np.zeros(n_bins), where=counts > 0)
     if normalize:
         total = psd.sum()
         if total > 0:

@@ -151,7 +151,17 @@ def training_loop(
         else:
             device_data_dtype = None
     elif device_data:
-        device_data_dtype = jnp.float32 if data_nbytes <= budget else jnp.bfloat16
+        if data_nbytes <= budget:
+            device_data_dtype = jnp.float32
+        elif data_nbytes // 2 <= budget:
+            device_data_dtype = jnp.bfloat16
+        else:
+            print(
+                f"WARNING: device_data requested but dataset "
+                f"({data_nbytes / 2**30:.1f} GiB) exceeds the HBM budget even "
+                f"in bf16; falling back to the streaming loader."
+            )
+            device_data_dtype = None
     else:
         device_data_dtype = None
     use_device_data = device_data_dtype is not None
@@ -167,10 +177,20 @@ def training_loop(
         )
 
     # -- resume ------------------------------------------------------------
-    ckpt_io = CheckpointIO(state=state)
+    # cur_ndata is derived as step * batch_size, so a checkpoint is only
+    # resumable with the batch size it was trained with; the meta blob makes
+    # a mismatch a hard error instead of silent progress corruption.
+    ckpt_io = CheckpointIO(state=state, meta={"batch_size": batch_size})
     loaded = ckpt_io.load_latest(run_dir)
     if loaded is not None:
         state = ckpt_io.state_objs["state"]
+        saved_bs = int(ckpt_io.state_objs["meta"]["batch_size"])
+        if saved_bs != batch_size:
+            raise ValueError(
+                f"Checkpoint was written with --batch {saved_bs}; resuming "
+                f"with --batch {batch_size} would corrupt the ndata/LR/data "
+                f"stream accounting. Use the original batch size."
+            )
     start_ndata = int(jax.device_get(state.step)) * batch_size
     stop_at_ndata = total_ndata
     if slice_ndata is not None:
@@ -357,22 +377,22 @@ def training_loop(
 
         # ---- scalar logging (training_loop.py:333-350)
         if (
-            logger is not None
-            and log_ndata is not None
+            log_ndata is not None
             and (done or cur_ndata % log_ndata == 0)
             and cur_ndata != start_ndata
         ):
-            logger.log(
-                {
-                    "train/loss": float(np.mean(jax.device_get(losses_accum)))
-                    if losses_accum
-                    else None,
-                    "train/kdata": cur_ndata // 1000,
-                    "train/elapsed_time": total_elapsed_time,
-                    "train/lr": float(schedule(cur_ndata // batch_size)),
-                }
-            )
-            losses_accum = []
+            if logger is not None:
+                logger.log(
+                    {
+                        "train/loss": float(np.mean(jax.device_get(losses_accum)))
+                        if losses_accum
+                        else None,
+                        "train/kdata": cur_ndata // 1000,
+                        "train/elapsed_time": total_elapsed_time,
+                        "train/lr": float(schedule(cur_ndata // batch_size)),
+                    }
+                )
+            losses_accum = []  # cleared regardless of logger (device buffers!)
 
         # ---- checkpoint (training_loop.py:353-363)
         if (
@@ -381,7 +401,9 @@ def training_loop(
             and cur_ndata != start_ndata
             and jax.process_index() == 0
         ):
-            CheckpointIO(state=jax.device_get(state)).save(
+            CheckpointIO(
+                state=jax.device_get(state), meta={"batch_size": batch_size}
+            ).save(
                 os.path.join(run_dir, f"training-state-{cur_ndata // 1000:07d}.ckpt")
             )
 
@@ -404,7 +426,16 @@ def training_loop(
                 (next(index_iter) for _ in range(local_batch)), np.int32,
                 count=local_batch,
             ).reshape(num_accumulation_rounds, -1)
-            idx = jax.device_put(idx, bsh)
+            if jax.process_count() > 1:
+                global_shape = (
+                    idx.shape[0],
+                    batch_size // num_accumulation_rounds,
+                )
+                idx = jax.make_array_from_process_local_data(
+                    bsh, idx, global_shape
+                )
+            else:
+                idx = jax.device_put(idx, bsh)
             state, loss = train_step(state, device_data_arr, idx, step_rng)
         else:
             batch = next(loader)  # [rounds, B_local, w*C, H, W]
