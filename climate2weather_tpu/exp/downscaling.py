@@ -109,6 +109,7 @@ def _run_impl(
     host_streaming: bool = False,
     sampler_kind: str = "pc",
     long_trajectory_threshold: int = 512,
+    ensemble_batch: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -256,9 +257,10 @@ def _run_impl(
                 **common,
             )
     else:
-
-        @jax.jit
-        def sample_one(params, observation, noise, rng):
+        # Short trajectories underutilize the chip (few windows per batch);
+        # ensemble_batch > 1 vmaps whole samples so the window batches stack
+        # — the TPU form of the reference's per-rank ensemble sharding.
+        def _sample_impl(params, observation, noise, rng):
             score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
             if do_condition:
                 guidance = GaussianGuidance(
@@ -280,15 +282,31 @@ def _run_impl(
                 **sampler_extra,
             )
 
+        if ensemble_batch > 1:
+            sample_one = jax.jit(
+                jax.vmap(_sample_impl, in_axes=(None, None, 0, 0))
+            )
+        else:
+            sample_one = jax.jit(_sample_impl)
+
     print("Starting sampling...")
-    for nsmpl in range(num_samples_local):
-        sample_id = rank * num_samples_local + nsmpl
-        print(f"[Rank {rank}] Generating sample {sample_id}...")
-        key = jax.random.PRNGKey(derive_seed(seed, "sample", sample_id))
-        nkey, skey = jax.random.split(key)
-        noise = jax.random.normal(
-            nkey, (L, C, H, W) if use_long else (L, H, W, C), jnp.float32
-        )
+    eb = max(1, int(ensemble_batch)) if not (use_long or host_streaming) else 1
+    for group_start in range(0, num_samples_local, eb):
+        group = list(range(group_start, min(group_start + eb, num_samples_local)))
+        sample_ids = [rank * num_samples_local + g for g in group]
+        sample_id = sample_ids[0]
+        print(f"[Rank {rank}] Generating sample(s) {sample_ids}...")
+        keys = [
+            jax.random.split(jax.random.PRNGKey(derive_seed(seed, "sample", sid)))
+            for sid in sample_ids
+        ]
+        noises = [
+            jax.random.normal(
+                nk, (L, C, H, W) if use_long else (L, H, W, C), jnp.float32
+            )
+            for nk, _ in keys
+        ]
+        noise, skey = noises[0], keys[0][1]
         import time as _time
 
         t0 = _time.time()
@@ -325,8 +343,19 @@ def _run_impl(
             )
             nan_flag = False
         else:
-            gen, nan_flag = sample_one(params, observation, noise, skey)
-            gen = np.asarray(jax.device_get(gen), np.float32)
+            if eb > 1:
+                noise_b = jnp.stack(noises)
+                keys_b = jnp.stack([k for _, k in keys])
+                if len(group) < eb:  # pad the final partial group
+                    pad = eb - len(group)
+                    noise_b = jnp.concatenate([noise_b, noise_b[:pad]])
+                    keys_b = jnp.concatenate([keys_b, keys_b[:pad]])
+                gen_b, nan_b = sample_one(params, observation, noise_b, keys_b)
+                gen = np.asarray(jax.device_get(gen_b), np.float32)[: len(group)]
+                nan_flag = jnp.any(nan_b)
+            else:
+                gen, nan_flag = sample_one(params, observation, noise, skey)
+                gen = np.asarray(jax.device_get(gen), np.float32)
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "
@@ -335,15 +364,17 @@ def _run_impl(
         if bool(jax.device_get(nan_flag)):
             raise FloatingPointError("NaN detected in sample")
 
-        # the long path already returns the writer's [L, C, H, W] layout
-        gen_lchw = gen if use_long else data_pipeline.nhwc_to_nchw(gen)
-        sample_ds = data_pipeline.np_to_ds(
-            gen_lchw, reference_ds=cosmo, data_vars=data_vars
-        )
-        sample_ds = data_pipeline.unnormalize_ds(
-            sample_ds, quantile_path, data_norm_mode
-        )
-        sample_ds.to_file(str(save_path / f"gen_sample_{sample_id:03d}.nc"))
+        gens = gen if (eb > 1 and not host_streaming) else [gen]
+        for sid, g in zip(sample_ids, gens):
+            # the long path already returns the writer's [L, C, H, W] layout
+            gen_lchw = g if use_long else data_pipeline.nhwc_to_nchw(g)
+            sample_ds = data_pipeline.np_to_ds(
+                gen_lchw, reference_ds=cosmo, data_vars=data_vars
+            )
+            sample_ds = data_pipeline.unnormalize_ds(
+                sample_ds, quantile_path, data_norm_mode
+            )
+            sample_ds.to_file(str(save_path / f"gen_sample_{sid:03d}.nc"))
 
     print(f"Saved results to {save_path}")
     return save_path

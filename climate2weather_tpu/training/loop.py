@@ -168,7 +168,8 @@ def training_loop(
 
     if use_device_data:
         train_step = make_device_data_train_step(
-            net.apply, process, optimizer, window, ema_rates, loss_scaling
+            net.apply, process, optimizer, window, ema_rates, loss_scaling,
+            remat=bool(int(os.environ.get("C2W_REMAT", "0"))),
         )
     else:
         train_step = make_train_step(

@@ -140,6 +140,7 @@ def make_device_data_train_step(
     window: int,
     ema_rates: Sequence[float] = (0.9999,),
     loss_scaling: float = 1.0,
+    remat: bool = False,
 ) -> Callable:
     """Train step over a device-resident dataset: windows are gathered in
     HBM, so only [rounds, B] int32 indices cross the host-device link.
@@ -151,8 +152,12 @@ def make_device_data_train_step(
     ~9 GB bf16 and fits HBM alongside the 72M-param training state.
 
     ``train_step(state, data, idx, rng)`` with data [T, C, H, W] (any float
-    dtype) and idx [rounds, B] window-start frames.
+    dtype) and idx [rounds, B] window-start frames.  ``remat=True``
+    rematerializes the network forward in the backward pass, trading ~1/3
+    more FLOPs for activation memory (larger per-chip microbatches).
     """
+
+    net_apply = jax.checkpoint(eps_model_apply) if remat else eps_model_apply
 
     def loss_fn(params, data, idx, rng):
         w = window
@@ -164,7 +169,7 @@ def make_device_data_train_step(
         xw = xw.reshape(b, xw.shape[1], xw.shape[2], -1).astype(jnp.float32)
         return (
             process.loss(
-                rng, lambda xt, t, forcing: eps_model_apply(params, xt, t), xw
+                rng, lambda xt, t, forcing: net_apply(params, xt, t), xw
             )
             * loss_scaling
         )
