@@ -187,6 +187,15 @@ def _run_impl(
     # params and observation cross the jit boundary as arguments (closure
     # capture would embed the full parameter set as HLO constants)
     eps_fn = make_batched_eps_fn(net.apply)
+
+    # multi-chip: shard the window batch over the mesh (sequence parallelism
+    # over ICI, SURVEY.md §2.5) — samples stay whole, windows split
+    win_sharding = None
+    if jax.device_count() > 1:
+        from climate2weather_tpu.parallel.mesh import make_mesh, window_sharding
+
+        win_sharding = window_sharding(make_mesh())
+        print(f"Sharding window batches over {jax.device_count()} devices")
     if do_condition:
         print(f"Observation shape: {observation.shape}")
         sigma = per_channel(
@@ -238,6 +247,7 @@ def _run_impl(
                 guidance=guidance,
                 steps=num_sampling_steps,
                 rng=rng,
+                window_sharding=win_sharding,
             )
             if sampler_kind == "dpmpp2m":
                 # the multistep carry needs ~5 trajectory buffers; go bf16
@@ -261,7 +271,10 @@ def _run_impl(
         # ensemble_batch > 1 vmaps whole samples so the window batches stack
         # — the TPU form of the reference's per-rank ensemble sharding.
         def _sample_impl(params, observation, noise, rng):
-            score = WindowScoreFn(eps_fn, params, markov_order, chunk_size=batch_size)
+            score = WindowScoreFn(
+                eps_fn, params, markov_order, chunk_size=batch_size,
+                window_sharding=None if ensemble_batch > 1 else win_sharding,
+            )
             if do_condition:
                 guidance = GaussianGuidance(
                     A=A,

@@ -28,7 +28,8 @@ def param_counts(params) -> Dict[str, int]:
 
 
 def print_module_summary(params, name: str = "model") -> int:
-    """Print a per-module parameter table; returns the total count."""
+    """Print a per-module parameter table; returns the total count
+    (reference util.print_module_summary, util.py:156-247)."""
     counts = param_counts(params)
     total = sum(counts.values())
     width = max((len(k) for k in counts), default=10)
@@ -39,6 +40,21 @@ def print_module_summary(params, name: str = "model") -> int:
     print("-" * (width + 16))
     print(f"{'TOTAL':<{width}}  {total:>12,}  ({total / 1e6:.2f}M)")
     return total
+
+
+def tabulate_module(module, *example_args, **kwargs) -> str:
+    """Full flax tabulation (per-layer output shapes + params + FLOPs) —
+    the detailed analogue of the reference's hook-based module summary."""
+    import jax
+    from flax import linen as nn
+
+    return nn.tabulate(
+        module,
+        jax.random.PRNGKey(0),
+        compute_flops=True,
+        compute_vjp_flops=False,
+        **kwargs,
+    )(*example_args)
 
 
 def tree_bytes(tree) -> int:

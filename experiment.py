@@ -77,5 +77,29 @@ def figures(kind, exp_dir, out_dir, compare):
     f.make(kind, exp_dir, out_dir, compare=list(compare))
 
 
+@cli.command()
+@click.argument("exp_dir")
+@click.option("--var", default="tas", show_default=True)
+@click.option("--out-path", type=str, default=None)
+@click.option("--fps", type=int, default=6, show_default=True)
+@click.option("--max-frames", type=int, default=72, show_default=True)
+def animation(exp_dir, var, out_path, fps, max_frames):
+    """GIF animation: ground truth vs samples over time
+    (reference plotting_util.create_animation)."""
+    import os
+
+    from climate2weather_tpu.exp import exputil
+    from climate2weather_tpu.exp.plotting_util import create_animation
+
+    samples, gt, obs = exputil.setup(exp_dir)
+    out_path = out_path or os.path.join(exp_dir, "figures", f"animation_{var}.gif")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    labels = ["ground truth"] + [f"sample {i}" for i in range(min(2, len(samples)))]
+    create_animation(
+        [gt] + samples[:2], var, labels, out_path, fps=fps, max_frames=max_frames
+    )
+    print(f"Saved {out_path}")
+
+
 if __name__ == "__main__":
     cli()
