@@ -42,12 +42,17 @@ def maybe_init_distributed() -> None:
 
 
 def configure_platform() -> None:
-    """Honor C2W_PLATFORM=cpu|tpu.  Needed because TPU plugins may register
-    themselves at interpreter start and win over the JAX_PLATFORMS env var;
-    the config update after import reliably selects the backend."""
+    """Honor C2W_PLATFORM=cpu|tpu and C2W_HOST_DEVICES=N.  Needed because
+    TPU plugins may register themselves at interpreter start and win over
+    the JAX_PLATFORMS env var; the config update after import reliably
+    selects the backend.  C2W_HOST_DEVICES creates N virtual CPU devices
+    (for exercising mesh paths without hardware)."""
     plat = os.environ.get("C2W_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    n = os.environ.get("C2W_HOST_DEVICES")
+    if n:
+        jax.config.update("jax_num_cpu_devices", int(n))
 
 
 def make_mesh(
