@@ -367,6 +367,15 @@ def training_loop(
                         trajectory_to_imgrid(gen),
                         cur_ndata // 1000,
                     )
+                    from climate2weather_tpu.utils.logging import (
+                        value_histogram_image,
+                    )
+
+                    logger.log_image(
+                        f"value_histogram-{rate_key(rate)}",
+                        value_histogram_image(gen),
+                        cur_ndata // 1000,
+                    )
                     logger.log(
                         {
                             "train/kdata": cur_ndata // 1000,

@@ -79,6 +79,30 @@ class RunLogger:
             self._wandb.finish()
 
 
+def value_histogram_image(values, bins: int = 80) -> "object":
+    """Histogram of sample values as an image array (the reference's
+    value_histogram W&B figure, util.py:264-268)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import io
+
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, ax = plt.subplots(figsize=(4, 3))
+    ax.hist(np.asarray(values).ravel(), bins=bins, density=True)
+    ax.set_title("sample value distribution")
+    fig.tight_layout()
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=100)
+    plt.close(fig)
+    buf.seek(0)
+    from PIL import Image
+
+    return np.asarray(Image.open(buf).convert("L"))
+
+
 def trajectory_to_imgrid(traj) -> "object":
     """[L, H, W, C] trajectory -> [L*H, C*W] grayscale grid (time down,
     features across), the layout of the reference's validation sample grids

@@ -54,6 +54,7 @@ def _parse_ndata_cb(ctx, param, value):
 @click.option('--slice-data',    'slice_data',   callback=_parse_ndata_cb, default=None)
 @click.option('--seed',          'seed',         type=int, default=0, show_default=True)
 @click.option('--ema-rates',     'ema_rates',    type=str, default='0.9999', show_default=True, help='Comma-separated EMA rates')
+@click.option('--log-alldevices/--log-firstdevice', 'log_alldevices', default=False, show_default=True)
 @click.option('--wandb/--no-wandb', 'use_wandb', default=False, show_default=True)
 # fmt: on
 def main(**opts):
@@ -66,7 +67,7 @@ def fabricless_main(
     run_dir, run_id, desc, train_data, valid_data, spatial_res, num_features,
     cache_data, markov_order, model_config, lr, total_ndata, batch, batch_gpu,
     status, snapshot, checkpoint, logging_, valid, slice_data, seed, ema_rates,
-    use_wandb,
+    log_alldevices, use_wandb,
 ):
     import jax
 
@@ -143,9 +144,9 @@ def fabricless_main(
 
     logger = RunLogger(
         cur_run_dir,
-        enabled=jax.process_index() == 0,
+        enabled=log_alldevices or jax.process_index() == 0,
         use_wandb=use_wandb,
-        run_id=run_id,
+        run_id=f"{run_id}-{jax.process_index()}" if log_alldevices else run_id,
         config=cfg.to_plain(),
     )
 
