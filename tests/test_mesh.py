@@ -67,3 +67,28 @@ def test_window_sharding_spec():
     assert ws.spec == jax.sharding.PartitionSpec((DATA_AXIS, WINDOW_AXIS))
     bs = batch_sharding(m, leading_none=2)
     assert bs.spec == jax.sharding.PartitionSpec(None, None, (DATA_AXIS, WINDOW_AXIS))
+
+
+def test_sharded_window_score_matches_unsharded(tiny_net):
+    """Sequence-parallel window evaluation over the 8-device mesh must be
+    numerically identical to the single-device path."""
+    import jax.numpy as jnp
+
+    from climate2weather_tpu.diffusion.window import (
+        WindowScoreFn,
+        make_batched_eps_fn,
+    )
+
+    net, params, C, window = tiny_net
+    k = window // 2
+    m = make_mesh()
+    L = 19  # 15 windows, chunk 8 -> 2 chunks sharded over 8 devices
+    x = jax.random.normal(jax.random.PRNGKey(5), (L, 16, 16, C))
+    eps_fn = make_batched_eps_fn(net.apply)
+    plain = WindowScoreFn(eps_fn, params, k, chunk_size=8)
+    sharded = WindowScoreFn(
+        eps_fn, params, k, chunk_size=8, window_sharding=window_sharding(m)
+    )
+    want = jax.jit(lambda p, xx: plain(xx, jnp.float32(0.3)))(params, x)
+    got = jax.jit(lambda p, xx: sharded(xx, jnp.float32(0.3)))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

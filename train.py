@@ -27,6 +27,13 @@ def _parse_ndata_cb(ctx, param, value):
 
 # fmt: off
 @click.command()
+# Device flags of the reference CLI, accepted for drop-in compatibility but
+# ignored: the JAX runtime discovers devices (multi-host pods set
+# JAX_COORDINATOR_ADDRESS).
+@click.option('--accelerator',   'accelerator',  type=str, default=None, hidden=True)
+@click.option('--devices',       'devices',      type=int, default=None, hidden=True)
+@click.option('--num-nodes',     'num_nodes',    type=int, default=None, hidden=True)
+@click.option('--strategy',      'strategy',     type=str, default=None, hidden=True)
 # General
 @click.option('--run-dir',       'run_dir',      type=str, required=True, help='Where to save the results')
 @click.option('--run-id',        'run_id',       type=str, required=True, help='Unique identifier for the run')
@@ -60,6 +67,12 @@ def _parse_ndata_cb(ctx, param, value):
 def main(**opts):
     configure_platform()
     maybe_init_distributed()
+    for flag in ("accelerator", "devices", "num_nodes", "strategy"):
+        if opts.pop(flag, None) is not None:
+            print(
+                f"NOTE: --{flag.replace('_', '-')} is accepted for reference-CLI "
+                f"compatibility but ignored (devices come from the JAX runtime)."
+            )
     fabricless_main(**opts)
 
 
