@@ -29,7 +29,6 @@ reference's ``unfold(0, w, 1).movedim(-1, 1).flatten(1, 2)`` channel order.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

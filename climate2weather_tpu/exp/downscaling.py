@@ -38,7 +38,6 @@ from climate2weather_tpu.diffusion.guidance import (
     SpatioTemporalCoarsening,
     per_channel,
 )
-from climate2weather_tpu.diffusion.sampler import sample as pc_sample
 from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
 from climate2weather_tpu.models.score_net import build_score_unet
 from climate2weather_tpu.training.checkpoint import load_snapshot
