@@ -161,6 +161,26 @@ def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
     return eps_chunk - (sigma * grad).astype(eps_chunk.dtype)
 
 
+def _stepwise_drive(run_chunk, carry, xs, k, total_steps, verbose):
+    """Drive a scan in chunks of k leading-axis elements from Python.
+
+    At most two program shapes compile (full chunks + one remainder); the
+    NaN flag (last carry element) is checked between calls so a poisoned
+    run stops early like the reference's mid-sampling raise.
+    """
+    n = int(xs.shape[0])
+    i = 0
+    while i < n:
+        j = min(i + k, n)
+        carry = run_chunk(carry, xs[i:j])
+        i = j
+        if verbose:
+            print(f"sampling: step {i}/{total_steps}", flush=True)
+        if bool(jax.device_get(carry[-1])):
+            break
+    return carry[0], carry[-1]
+
+
 def sample_guided_long(
     process,
     eps_apply: Callable,
@@ -176,12 +196,20 @@ def sample_guided_long(
     rng: Optional[jax.Array] = None,
     frame_chunk: int = 256,
     window_sharding=None,
+    steps_per_call: Optional[int] = None,
+    verbose: bool = False,
 ):
     """Guided PC sampling with memory bounded in the trajectory length.
 
     ``noise`` is NCHW [L, C, H, W]; ``eps_apply(params, windows_nhwc, t)``
     is the window network; ``guidance`` (optional) must use the detached
     analytic mode.  Returns ``(x_nchw, nan_detected)``.
+
+    ``steps_per_call`` splits the schedule across multiple jitted calls (a
+    Python loop carries the state): year-scale runs can take minutes per
+    execution, which some runtimes kill as hung — and this restores per-call
+    progress reporting (the reference's tqdm bar).  One compile serves all
+    calls (time pairs are an argument).  Do not use inside an outer jit.
     """
     if guidance is not None:
         assert not guidance.exact_grad, (
@@ -261,10 +289,19 @@ def sample_guided_long(
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return (x, key, nan_flag), None
 
-    (x, _, nan_flag), _ = jax.lax.scan(
-        step, (noise, rng, jnp.asarray(False)), time_steps
+    init = (noise, rng, jnp.asarray(False))
+    if steps_per_call is None:
+        (x, _, nan_flag), _ = jax.lax.scan(step, init, time_steps)
+        return x, nan_flag
+
+    run_chunk = jax.jit(
+        lambda carry, ts: jax.lax.scan(step, carry, ts)[0],
+        donate_argnums=(0,),
     )
-    return x, nan_flag
+    carry = init
+    return _stepwise_drive(
+        run_chunk, carry, time_steps, steps_per_call, steps, verbose
+    )
 
 
 def sample_dpmpp2m_long(
@@ -281,10 +318,14 @@ def sample_dpmpp2m_long(
     frame_chunk: int = 256,
     window_sharding=None,
     traj_dtype=None,
+    steps_per_call: Optional[int] = None,
+    verbose: bool = False,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
     x0 prediction.  log-SNR step spacing; detached guidance only.
+    ``steps_per_call`` splits the schedule across jitted calls (see
+    sample_guided_long).
 
     The multistep method needs ~5 trajectory-sized carries; at the full-year
     scale that exceeds a 16 GB chip in fp32, so pass
@@ -357,7 +398,15 @@ def sample_dpmpp2m_long(
         jnp.asarray(True),
         jnp.asarray(False),
     )
-    (x, _, _, _, nan_flag), _ = jax.lax.scan(
-        step, init, (time_steps[:-1], time_steps[1:])
+    ts_pairs = jnp.stack([time_steps[:-1], time_steps[1:]], axis=1)  # [steps, 2]
+    if steps_per_call is None:
+        (x, _, _, _, nan_flag), _ = jax.lax.scan(
+            step, init, (ts_pairs[:, 0], ts_pairs[:, 1])
+        )
+        return x, nan_flag
+
+    run_chunk = jax.jit(
+        lambda carry, ts: jax.lax.scan(step, carry, (ts[:, 0], ts[:, 1]))[0],
+        donate_argnums=(0,),
     )
-    return x, nan_flag
+    return _stepwise_drive(run_chunk, init, ts_pairs, steps_per_call, steps, verbose)

@@ -231,7 +231,10 @@ def _run_impl(
             sample_guided_long,
         )
 
-        @jax.jit
+        # NOT wrapped in an outer jit: stepwise mode jits per chunk of
+        # steps internally, so executions stay short (long single
+        # executions can be killed as hung by runtime watchdogs) and
+        # progress is reported per chunk.
         def sample_one(params, observation, noise_nchw, rng):
             guidance = (
                 GaussianGuidance(
@@ -247,6 +250,8 @@ def _run_impl(
                 steps=num_sampling_steps,
                 rng=rng,
                 window_sharding=win_sharding,
+                steps_per_call=8,
+                verbose=rank == 0,
             )
             if sampler_kind == "dpmpp2m":
                 # the multistep carry needs ~5 trajectory buffers; go bf16

@@ -76,6 +76,33 @@ def test_long_matches_plain_unguided(setup):
     np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+def test_stepwise_matches_single_scan(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    common = dict(markov_order=k, chunk_size=4, guidance=guidance, steps=5,
+                  frame_chunk=5)
+    want, _ = sample_guided_long(proc, eps_fn, params, to_nchw(noise), **common)
+    got, nan = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise), steps_per_call=2, **common
+    )
+    assert not bool(nan)
+    # chunking changes fusion boundaries; reverse dynamics amplify fp32
+    # reassociation noise (see test_single_step_relative_match) -> loose
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    # dpm flavor
+    want_d, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=5, frame_chunk=5,
+    )
+    got_d, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=5, frame_chunk=5,
+        steps_per_call=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_long_with_corrections_runs(setup, rng):
     proc, eps_fn, params, k, sf, guidance, noise = setup
     got, nan = sample_guided_long(
