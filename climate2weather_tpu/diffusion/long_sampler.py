@@ -223,9 +223,9 @@ def sample_guided_long(
     dt = 1.0 / steps
     time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)[:-1]
 
-    def window_pass(x, t):
+    def window_pass(params_, x, t):
         return nchw_window_pass(
-            eps_apply, params, x, t, markov_order, chunk_size, window_sharding
+            eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
         )
 
     def frame_pass(x, eps, err, t, t2, delta=None, z_key=None):
@@ -271,17 +271,17 @@ def sample_guided_long(
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_fchunks))
         return acc
 
-    def step(carry, t):
+    def step(params_, carry, t):
         x, key, nan_flag = carry
         t2 = t - dt
 
-        eps = window_pass(x, t)
+        eps = window_pass(params_, x, t)
         err = _obs_err_nchw(guidance, process, x, eps, t) if guidance else None
         x = frame_pass(x, eps, err, t, t2)
 
         for _ in range(corrections):
             key, zkey = jax.random.split(key)
-            eps = window_pass(x, t2)
+            eps = window_pass(params_, x, t2)
             err = _obs_err_nchw(guidance, process, x, eps, t2) if guidance else None
             delta = tau / (guided_sumsq(eps, err, t2) / eps.size)
             x = frame_pass(x, eps, err, t2, t2, delta=delta, z_key=zkey)
@@ -291,16 +291,22 @@ def sample_guided_long(
 
     init = (noise, rng, jnp.asarray(False))
     if steps_per_call is None:
-        (x, _, nan_flag), _ = jax.lax.scan(step, init, time_steps)
+        (x, _, nan_flag), _ = jax.lax.scan(
+            lambda c, t: step(params, c, t), init, time_steps
+        )
         return x, nan_flag
 
-    run_chunk = jax.jit(
-        lambda carry, ts: jax.lax.scan(step, carry, ts)[0],
-        donate_argnums=(0,),
+    # params is a jit ARGUMENT (closure capture would embed it as HLO
+    # constants — oversized programs get rejected by remote compilers)
+    run_chunk_p = jax.jit(
+        lambda params_, carry, ts: jax.lax.scan(
+            lambda c, t: step(params_, c, t), carry, ts
+        )[0],
+        donate_argnums=(1,),
     )
-    carry = init
+    run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(
-        run_chunk, carry, time_steps, steps_per_call, steps, verbose
+        run_chunk, init, time_steps, steps_per_call, steps, verbose
     )
 
 
@@ -347,15 +353,15 @@ def sample_dpmpp2m_long(
     def lam(t):
         return jnp.log(process.mu(t)) - jnp.log(process.sigma(t))
 
-    def window_pass(x, t):
+    def window_pass(params_, x, t):
         return nchw_window_pass(
-            eps_apply, params, x, t, markov_order, chunk_size, window_sharding
+            eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
         )
 
-    def step(carry, ts):
+    def step(params_, carry, ts):
         x, prev_x0, prev_h, is_first, nan_flag = carry
         t_prev, t_cur = ts
-        eps = window_pass(x, t_prev)
+        eps = window_pass(params_, x, t_prev)
         err = (
             _obs_err_nchw(guidance, process, x, eps, t_prev)
             if guidance is not None
@@ -401,12 +407,16 @@ def sample_dpmpp2m_long(
     ts_pairs = jnp.stack([time_steps[:-1], time_steps[1:]], axis=1)  # [steps, 2]
     if steps_per_call is None:
         (x, _, _, _, nan_flag), _ = jax.lax.scan(
-            step, init, (ts_pairs[:, 0], ts_pairs[:, 1])
+            lambda c, t: step(params, c, t), init, (ts_pairs[:, 0], ts_pairs[:, 1])
         )
         return x, nan_flag
 
-    run_chunk = jax.jit(
-        lambda carry, ts: jax.lax.scan(step, carry, (ts[:, 0], ts[:, 1]))[0],
-        donate_argnums=(0,),
+    # params as jit argument (see sample_guided_long)
+    run_chunk_p = jax.jit(
+        lambda params_, carry, ts: jax.lax.scan(
+            lambda c, t: step(params_, c, t), carry, (ts[:, 0], ts[:, 1])
+        )[0],
+        donate_argnums=(1,),
     )
+    run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(run_chunk, init, ts_pairs, steps_per_call, steps, verbose)
