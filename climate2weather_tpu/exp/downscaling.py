@@ -360,6 +360,8 @@ def _run_impl(
             )
             nan_flag = False
         else:
+            from climate2weather_tpu.utils.fetch import fetch_as_float32
+
             if eb > 1:
                 noise_b = jnp.stack(noises)
                 keys_b = jnp.stack([k for _, k in keys])
@@ -368,11 +370,11 @@ def _run_impl(
                     noise_b = jnp.concatenate([noise_b, noise_b[:pad]])
                     keys_b = jnp.concatenate([keys_b, keys_b[:pad]])
                 gen_b, nan_b = sample_one(params, observation, noise_b, keys_b)
-                gen = np.asarray(jax.device_get(gen_b), np.float32)[: len(group)]
+                gen = fetch_as_float32(gen_b)[: len(group)]
                 nan_flag = jnp.any(nan_b)
             else:
                 gen, nan_flag = sample_one(params, observation, noise, skey)
-                gen = np.asarray(jax.device_get(gen), np.float32)
+                gen = fetch_as_float32(gen)
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "
