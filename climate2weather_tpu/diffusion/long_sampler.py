@@ -198,6 +198,7 @@ def sample_guided_long(
     window_sharding=None,
     steps_per_call: Optional[int] = None,
     verbose: bool = False,
+    jit_cache: Optional[dict] = None,
 ):
     """Guided PC sampling with memory bounded in the trajectory length.
 
@@ -210,6 +211,13 @@ def sample_guided_long(
     execution, which some runtimes kill as hung — and this restores per-call
     progress reporting (the reference's tqdm bar).  One compile serves all
     calls (time pairs are an argument).  Do not use inside an outer jit.
+    NOTE: in stepwise mode the caller's ``noise`` buffer is donated on the
+    first chunk (memory) — do not reuse it afterwards.
+
+    ``jit_cache``: pass the same dict across repeated calls with identical
+    static configuration (same process/guidance arrays/shapes) to reuse the
+    compiled chunk program instead of retracing per call (e.g. per-sample
+    loops in the downscaling driver).
     """
     if guidance is not None:
         assert not guidance.exact_grad, (
@@ -298,12 +306,17 @@ def sample_guided_long(
 
     # params is a jit ARGUMENT (closure capture would embed it as HLO
     # constants — oversized programs get rejected by remote compilers)
-    run_chunk_p = jax.jit(
-        lambda params_, carry, ts: jax.lax.scan(
-            lambda c, t: step(params_, c, t), carry, ts
-        )[0],
-        donate_argnums=(1,),
-    )
+    if jit_cache is not None and "pc" in jit_cache:
+        run_chunk_p = jit_cache["pc"]
+    else:
+        run_chunk_p = jax.jit(
+            lambda params_, carry, ts: jax.lax.scan(
+                lambda c, t: step(params_, c, t), carry, ts
+            )[0],
+            donate_argnums=(1,),
+        )
+        if jit_cache is not None:
+            jit_cache["pc"] = run_chunk_p
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(
         run_chunk, init, time_steps, steps_per_call, steps, verbose
@@ -326,6 +339,7 @@ def sample_dpmpp2m_long(
     traj_dtype=None,
     steps_per_call: Optional[int] = None,
     verbose: bool = False,
+    jit_cache: Optional[dict] = None,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
@@ -411,12 +425,17 @@ def sample_dpmpp2m_long(
         )
         return x, nan_flag
 
-    # params as jit argument (see sample_guided_long)
-    run_chunk_p = jax.jit(
-        lambda params_, carry, ts: jax.lax.scan(
-            lambda c, t: step(params_, c, t), carry, (ts[:, 0], ts[:, 1])
-        )[0],
-        donate_argnums=(1,),
-    )
+    # params as jit argument (see sample_guided_long); cache reusable
+    if jit_cache is not None and "dpm" in jit_cache:
+        run_chunk_p = jit_cache["dpm"]
+    else:
+        run_chunk_p = jax.jit(
+            lambda params_, carry, ts: jax.lax.scan(
+                lambda c, t: step(params_, c, t), carry, (ts[:, 0], ts[:, 1])
+            )[0],
+            donate_argnums=(1,),
+        )
+        if jit_cache is not None:
+            jit_cache["dpm"] = run_chunk_p
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(run_chunk, init, ts_pairs, steps_per_call, steps, verbose)

@@ -234,7 +234,10 @@ def _run_impl(
         # NOT wrapped in an outer jit: stepwise mode jits per chunk of
         # steps internally, so executions stay short (long single
         # executions can be killed as hung by runtime watchdogs) and
-        # progress is reported per chunk.
+        # progress is reported per chunk.  The shared jit cache makes the
+        # compiled chunk program reusable across the per-sample loop.
+        _long_jit_cache: dict = {}
+
         def sample_one(params, observation, noise_nchw, rng):
             guidance = (
                 GaussianGuidance(
@@ -252,6 +255,7 @@ def _run_impl(
                 window_sharding=win_sharding,
                 steps_per_call=8,
                 verbose=rank == 0,
+                jit_cache=_long_jit_cache,
             )
             if sampler_kind == "dpmpp2m":
                 # the multistep carry needs ~5 trajectory buffers; go bf16
@@ -365,26 +369,43 @@ def _run_impl(
             if eb > 1:
                 noise_b = jnp.stack(noises)
                 keys_b = jnp.stack([k for _, k in keys])
-                if len(group) < eb:  # pad the final partial group
-                    pad = eb - len(group)
-                    noise_b = jnp.concatenate([noise_b, noise_b[:pad]])
-                    keys_b = jnp.concatenate([keys_b, keys_b[:pad]])
+                if len(group) < eb:  # tile the final partial group to size
+                    reps = -(-eb // len(group))
+                    noise_b = jnp.concatenate([noise_b] * reps)[:eb]
+                    keys_b = jnp.concatenate([keys_b] * reps)[:eb]
+                if win_sharding is not None:
+                    # shard whole samples over the mesh (ensemble parallel)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from climate2weather_tpu.parallel.mesh import make_mesh
+
+                    es = NamedSharding(
+                        make_mesh(), P(("data", "window"))
+                    )
+                    noise_b = jax.device_put(noise_b, es)
+                    keys_b = jax.device_put(keys_b, es)
                 gen_b, nan_b = sample_one(params, observation, noise_b, keys_b)
-                gen = fetch_as_float32(gen_b)[: len(group)]
-                nan_flag = jnp.any(nan_b)
+                # device-side slice before the (slow) fetch: padded
+                # duplicates never cross the link
+                gen = fetch_as_float32(gen_b[: len(group)])
+                nan_per_sample = np.asarray(jax.device_get(nan_b))[: len(group)]
             else:
                 gen, nan_flag = sample_one(params, observation, noise, skey)
                 gen = fetch_as_float32(gen)
+                nan_per_sample = np.asarray([bool(jax.device_get(nan_flag))])
         total = _time.time() - t0
         print(
             f"Total sampling time: {total:.2f} s = {total / 60:.3f} min "
             f"= {total / 3600:.4f} h"
         )
-        if bool(jax.device_get(nan_flag)):
-            raise FloatingPointError("NaN detected in sample")
+        if host_streaming:
+            nan_per_sample = np.asarray([False])
 
         gens = gen if (eb > 1 and not host_streaming) else [gen]
-        for sid, g in zip(sample_ids, gens):
+        for sid, g, is_nan in zip(sample_ids, gens, nan_per_sample):
+            if is_nan:
+                # save the finite group members first, then fail loudly
+                continue
             # the long path already returns the writer's [L, C, H, W] layout
             gen_lchw = g if use_long else data_pipeline.nhwc_to_nchw(g)
             sample_ds = data_pipeline.np_to_ds(
@@ -394,6 +415,9 @@ def _run_impl(
                 sample_ds, quantile_path, data_norm_mode
             )
             sample_ds.to_file(str(save_path / f"gen_sample_{sid:03d}.nc"))
+        if nan_per_sample.any():
+            bad = [sid for sid, n in zip(sample_ids, nan_per_sample) if n]
+            raise FloatingPointError(f"NaN detected in sample(s) {bad}")
 
     print(f"Saved results to {save_path}")
     return save_path

@@ -17,10 +17,15 @@ from typing import Optional
 
 class RunLogger:
     def __init__(self, run_dir: str, enabled: bool = True, use_wandb: bool = False,
-                 run_id: Optional[str] = None, config: Optional[dict] = None):
+                 run_id: Optional[str] = None, config: Optional[dict] = None,
+                 rank: int = 0):
         self.enabled = enabled
         self.run_dir = run_dir
-        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self.rank = rank
+        # per-rank files so --log-alldevices processes never interleave
+        suffix = "" if rank == 0 else f"-rank{rank}"
+        self.path = os.path.join(run_dir, f"metrics{suffix}.jsonl")
+        self._media_suffix = suffix
         self._wandb = None
         if enabled and use_wandb:
             try:
@@ -61,14 +66,13 @@ class RunLogger:
         lo, hi = np.nanmin(arr), np.nanmax(arr)
         norm = (arr - lo) / max(hi - lo, 1e-12)
         img8 = (np.clip(norm, 0, 1) * 255).astype(np.uint8)
+        fname = f"{name}-{kdata:07d}{self._media_suffix}"
         try:
             from PIL import Image
 
-            Image.fromarray(img8).save(
-                os.path.join(media, f"{name}-{kdata:07d}.png")
-            )
+            Image.fromarray(img8).save(os.path.join(media, f"{fname}.png"))
         except ImportError:
-            np.save(os.path.join(media, f"{name}-{kdata:07d}.npy"), arr)
+            np.save(os.path.join(media, f"{fname}.npy"), arr)
         if self._wandb is not None:
             import wandb  # type: ignore
 
@@ -91,8 +95,15 @@ def value_histogram_image(values, bins: int = 80) -> "object":
     import numpy as np
 
     fig, ax = plt.subplots(figsize=(4, 3))
-    ax.hist(np.asarray(values).ravel(), bins=bins, density=True)
-    ax.set_title("sample value distribution")
+    vals = np.asarray(values).ravel()
+    finite = vals[np.isfinite(vals)]
+    n_bad = vals.size - finite.size
+    if finite.size:
+        ax.hist(finite, bins=bins, density=True)
+    title = "sample value distribution"
+    if n_bad:
+        title += f" ({n_bad} non-finite dropped)"
+    ax.set_title(title)
     fig.tight_layout()
     buf = io.BytesIO()
     fig.savefig(buf, format="png", dpi=100)

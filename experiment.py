@@ -93,7 +93,8 @@ def animation(exp_dir, var, out_path, fps, max_frames):
 
     samples, gt, obs = exputil.setup(exp_dir)
     out_path = out_path or os.path.join(exp_dir, "figures", f"animation_{var}.gif")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     labels = ["ground truth"] + [f"sample {i}" for i in range(min(2, len(samples)))]
     create_animation(
         [gt] + samples[:2], var, labels, out_path, fps=fps, max_frames=max_frames

@@ -161,6 +161,7 @@ def fabricless_main(
         use_wandb=use_wandb,
         run_id=f"{run_id}-{jax.process_index()}" if log_alldevices else run_id,
         config=cfg.to_plain(),
+        rank=jax.process_index(),
     )
 
     training_loop(
