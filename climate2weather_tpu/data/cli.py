@@ -117,6 +117,24 @@ def debias_cmd(model_path, reference_path, target_path, out_path, n_quantiles):
     print(f"Wrote {out_path}")
 
 
+@cli.command("synth")
+@click.option("--out-dir", required=True)
+@click.option("--train-hours", default=8784, show_default=True)
+@click.option("--eval-hours", default=1488, show_default=True)
+@click.option("--res", default=128, show_default=True)
+@click.option("--seed", default=0, show_default=True)
+@click.option("--norm-mode", default="quant95", show_default=True)
+def synth_cmd(out_dir, train_hours, eval_hours, res, seed, norm_mode):
+    """Generate a synthetic COSMO-like workload (train h5 + quantiles +
+    held-out eval grid) for production-scale fidelity runs."""
+    from climate2weather_tpu.data.synthetic import build_synthetic_dataset
+
+    build_synthetic_dataset(
+        out_dir, train_hours=train_hours, eval_hours=eval_hours,
+        res=res, seed=seed, norm_mode=norm_mode,
+    )
+
+
 @cli.command("preproc-all")
 @click.option("--raw-dir", required=True,
               help="Directory with per-variable subdirs of grid files")

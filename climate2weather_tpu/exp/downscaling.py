@@ -367,21 +367,30 @@ def _run_impl(
             from climate2weather_tpu.utils.fetch import fetch_as_float32
 
             if eb > 1:
-                noise_b = jnp.stack(noises)
-                keys_b = jnp.stack([k for _, k in keys])
-                if len(group) < eb:  # tile the final partial group to size
-                    reps = -(-eb // len(group))
-                    noise_b = jnp.concatenate([noise_b] * reps)[:eb]
-                    keys_b = jnp.concatenate([keys_b] * reps)[:eb]
+                # shard whole samples over the mesh (ensemble parallel);
+                # NamedSharding needs the batch divisible by the mesh size,
+                # so pad the run batch up to the next multiple (e.g. the
+                # recommended ensemble_batch: 3 on an 8-device mesh runs as
+                # 8 with 5 padded duplicates that are sliced off on device
+                # before the fetch)
+                run_eb = eb
+                es = None
                 if win_sharding is not None:
-                    # shard whole samples over the mesh (ensemble parallel)
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     from climate2weather_tpu.parallel.mesh import make_mesh
 
-                    es = NamedSharding(
-                        make_mesh(), P(("data", "window"))
-                    )
+                    mesh = make_mesh()
+                    n_mesh = int(mesh.devices.size)
+                    run_eb = -(-eb // n_mesh) * n_mesh
+                    es = NamedSharding(mesh, P(("data", "window")))
+                noise_b = jnp.stack(noises)
+                keys_b = jnp.stack([k for _, k in keys])
+                if len(group) < run_eb:  # tile partial tail / sharding pad
+                    reps = -(-run_eb // len(group))
+                    noise_b = jnp.concatenate([noise_b] * reps)[:run_eb]
+                    keys_b = jnp.concatenate([keys_b] * reps)[:run_eb]
+                if es is not None:
                     noise_b = jax.device_put(noise_b, es)
                     keys_b = jax.device_put(keys_b, es)
                 gen_b, nan_b = sample_one(params, observation, noise_b, keys_b)

@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import re
-from typing import Any, Optional
+import threading
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +108,71 @@ class CheckpointIO:
         return path
 
 
+class AsyncWriter:
+    """Single background thread for checkpoint/snapshot writes.
+
+    The reference blocks the step loop on ``fabric.save``
+    (training_loop.py:353-363); here the device->host fetch + file write run
+    off the step path.  At most one job is in flight: ``submit`` blocks until
+    the previous write finished, bounding host memory to one state copy.
+    Exceptions surface on the next ``submit``/``flush`` instead of being
+    swallowed.
+    """
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 - reraised on submit/flush
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, fn: Callable[[], None]):
+        self._check()
+        self._q.put(fn)  # blocks while a previous write is still running
+
+    def flush(self):
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self._q.put(None)
+        self._q.join()
+        self._check()
+
+
+def prune_checkpoints(
+    run_dir: str, keep_last: int, pattern: str = CKPT_PATTERN
+) -> None:
+    """Delete all but the ``keep_last`` highest-numbered training states."""
+    try:
+        entries = os.scandir(run_dir)
+    except FileNotFoundError:
+        return
+    fnames = [
+        e.name for e in entries if e.is_file() and re.fullmatch(pattern, e.name)
+    ]
+    fnames.sort(key=lambda x: int(re.fullmatch(pattern, x).group(1)))
+    for name in fnames[: max(0, len(fnames) - keep_last)]:
+        os.remove(os.path.join(run_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # Inference snapshots
 
@@ -127,7 +194,15 @@ def save_snapshot(
     snap_dir = os.path.join(run_dir, name)
     os.makedirs(snap_dir, exist_ok=True)
     if half_precision:
-        params = jax.tree.map(lambda p: np.asarray(p, np.float16), _to_host(params))
+        # cast on device before the fetch: halves the bytes over the (slow)
+        # device->host link, matching the reference's fp16 snapshot payload
+        # (training_loop.py:240-267)
+        params = jax.tree.map(
+            lambda p: np.asarray(p, np.float16)
+            if isinstance(p, np.ndarray)
+            else np.asarray(jax.device_get(jnp.asarray(p).astype(jnp.float16))),
+            params,
+        )
     else:
         params = _to_host(params)
     with open(os.path.join(snap_dir, "params.msgpack"), "wb") as f:

@@ -33,7 +33,12 @@ from climate2weather_tpu.diffusion.sampler import sample as pc_sample
 from climate2weather_tpu.diffusion.window import WindowScoreFn, make_batched_eps_fn
 from climate2weather_tpu.models.score_net import build_score_unet
 from climate2weather_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
-from climate2weather_tpu.training.checkpoint import CheckpointIO, save_snapshot
+from climate2weather_tpu.training.checkpoint import (
+    AsyncWriter,
+    CheckpointIO,
+    prune_checkpoints,
+    save_snapshot,
+)
 from climate2weather_tpu.training.ema import rate_key
 from climate2weather_tpu.training.lr import make_schedule
 from climate2weather_tpu.training.state import (
@@ -278,6 +283,7 @@ def training_loop(
         "pipeline_kwargs": EasyDict(pipeline_kwargs).to_plain(),
     }
 
+    writer = AsyncWriter()
     cur_ndata = start_ndata
     prev_status_ndata = cur_ndata
     cumulative_training_time = 0.0
@@ -323,6 +329,9 @@ def training_loop(
             prev_status_time = cur_time
 
         # ---- EMA snapshot (training_loop.py:234-267)
+        # fp16 payload like the reference; the device->fp16 cast runs now
+        # (fresh buffers, immune to next-step donation of the EMA tree) and
+        # the fetch+write run on the writer thread, off the step path.
         if (
             snapshot_ndata is not None
             and cur_ndata % snapshot_ndata == 0
@@ -330,12 +339,16 @@ def training_loop(
             and jax.process_index() == 0
         ):
             for rate in ema_rates:
-                save_snapshot(
-                    run_dir,
-                    cur_ndata // 1000,
-                    rate_key(rate),
-                    state.emas[rate_key(rate)],
-                    snap_config,
+                snap_params = jax.tree.map(
+                    lambda p: p.astype(jnp.float16), state.emas[rate_key(rate)]
+                )
+                writer.submit(
+                    lambda nd=cur_ndata, rk=rate_key(rate), sp=snap_params: (
+                        save_snapshot(
+                            run_dir, nd // 1000, rk, sp, snap_config,
+                            half_precision=True,
+                        )
+                    )
                 )
 
         # ---- validation sampling (training_loop.py:270-325)
@@ -405,17 +418,29 @@ def training_loop(
             losses_accum = []  # cleared regardless of logger (device buffers!)
 
         # ---- checkpoint (training_loop.py:353-363)
+        # On-device copy decouples the fetch from train-step buffer donation,
+        # so the (slow-link) device->host transfer and file write both run on
+        # the writer thread while training continues.
         if (
             checkpoint_ndata is not None
             and (done or cur_ndata % checkpoint_ndata == 0)
             and cur_ndata != start_ndata
             and jax.process_index() == 0
         ):
-            CheckpointIO(
-                state=jax.device_get(state), meta={"batch_size": batch_size}
-            ).save(
-                os.path.join(run_dir, f"training-state-{cur_ndata // 1000:07d}.ckpt")
+            state_copy = jax.tree.map(jnp.copy, state)
+            ckpt_path = os.path.join(
+                run_dir, f"training-state-{cur_ndata // 1000:07d}.ckpt"
             )
+            keep_last = int(os.environ.get("C2W_CKPT_KEEP", 0))
+
+            def _write_ckpt(sc=state_copy, path=ckpt_path, keep=keep_last):
+                CheckpointIO(
+                    state=jax.device_get(sc), meta={"batch_size": batch_size}
+                ).save(path)
+                if keep > 0:
+                    prune_checkpoints(run_dir, keep)
+
+            writer.submit(_write_ckpt)
 
         if done:
             break
@@ -464,6 +489,7 @@ def training_loop(
         cur_ndata += batch_size
         cumulative_training_time += time.time() - batch_start_time
 
+    writer.close()
     if loader is not None:
         loader.stop()
     print("Training complete.")
