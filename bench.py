@@ -1,17 +1,17 @@
-"""Benchmark: guided-sampler net-evals/sec/chip on the flagship model.
+"""Benchmark: guided-sampler throughput + year-downscaling wall-clock.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the required keys {"metric", "value", "unit",
+"vs_baseline"} (headline = sampler net-evals/sec/chip) plus secondary
+fields for the second north-star metric (BASELINE.md): measured wall-clock
+extrapolated to hours per 2014-year sample for the two production samplers
+(PC-256 and DPM++(2M)-64), and an 8-virtual-device window-sharding overhead
+check.
 
 Workload (BASELINE.md): the production ~72M-param sda_unet
 (configs/sda_unet.yml) evaluating Markov-blanket windows of
-[batch<=128, 128, 128, 52] inside the guided PC sampler — the unit of the
+[batch<=128, 128, 128, 52] inside the guided sampler — the unit of the
 reference's sampler cost model (SURVEY.md §3.2: year run = 2.23M
 window-evals/sample executed as 17.7k batch-forwards).
-
-We time the real end-to-end guided sampler (jitted scan: window gather ->
-UNet -> fold -> analytic likelihood guidance -> predictor step) on a
-trajectory sized to give an integer number of full window chunks, and
-report window-evaluations per second per chip.
 
 Baseline: the reference publishes no numbers (BASELINE.md), so
 ``vs_baseline`` is measured against an analytic A100 estimate of the
@@ -23,11 +23,15 @@ reference implementation documented below:
   Reference pipeline overheads (torch.func.jacrev with chunk_size=1 through
   fold/unfold + CPU<->GPU window streaming each chunk,
   src/thor/score.py:28-35,165-183) conservatively halve that -> 520 evals/s.
+  Year-sample baseline: 2.23M evals / 520 evals/s = 1.191 h (PC-256).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -35,6 +39,133 @@ import jax.numpy as jnp
 import yaml
 
 A100_BASELINE_EVALS_PER_SEC = 520.0
+YEAR_EVALS = 256 * (8737 - 13 + 1)  # reference year-run cost model
+A100_BASELINE_YEAR_HOURS = YEAR_EVALS / A100_BASELINE_EVALS_PER_SEC / 3600.0
+
+
+def _sync(arr):
+    # force completion with a real device->host fetch: block_until_ready
+    # does not block under remote-relay execution
+    return float(jnp.asarray(arr).ravel()[0])
+
+
+def measure_year_sampler(process, eps_fn, params, A, num_features, res, markov_order):
+    """Measured seconds/step at the full year length (L=8737, NCHW
+    memory-bounded samplers), extrapolated to hours per year sample."""
+    from climate2weather_tpu.diffusion.guidance import GaussianGuidance
+    from climate2weather_tpu.diffusion.long_sampler import (
+        sample_dpmpp2m_long,
+        sample_guided_long,
+    )
+
+    L = 8737
+    rng = jax.random.PRNGKey(7)
+    lo = -(-L // A.t_step)
+    y = jax.random.normal(rng, (lo, res // A.s_step, res // A.s_step, num_features))
+    guidance = GaussianGuidance(A=A, y=y, std=0.1, gamma=7e-4, exact_grad=False)
+
+    def noise():
+        return jax.random.normal(rng, (L, num_features, res, res), jnp.float32)
+
+    def timed(fn, *a, **kw):
+        t0 = time.time()
+        out, nan = fn(*a, **kw)
+        _sync(out)
+        return time.time() - t0
+
+    results = {}
+    common = dict(
+        markov_order=markov_order, chunk_size=128, guidance=guidance,
+        steps_per_call=1,
+    )
+    # PC: compile+1 step, then 1+4 steps; difference = 4 warm steps
+    cache: dict = {}
+    t1 = timed(
+        sample_guided_long, process, eps_fn, params, noise(),
+        steps=1, corrections=0, jit_cache=cache, **common,
+    )
+    t5 = timed(
+        sample_guided_long, process, eps_fn, params, noise(),
+        steps=5, corrections=0, jit_cache=cache, **common,
+    )
+    pc_step = (t5 - t1) / 4.0
+    results["pc256_hours"] = pc_step * 256 / 3600.0
+    # DPM++(2M): bf16 trajectory (production year config), 64 steps
+    cache = {}
+    t1 = timed(
+        sample_dpmpp2m_long, process, eps_fn, params, noise(),
+        steps=1, traj_dtype=jnp.bfloat16, jit_cache=cache, **common,
+    )
+    t3 = timed(
+        sample_dpmpp2m_long, process, eps_fn, params, noise(),
+        steps=3, traj_dtype=jnp.bfloat16, jit_cache=cache, **common,
+    )
+    results["dpm64_hours"] = (t3 - t1) / 2.0 * 64 / 3600.0
+    return results
+
+
+_SCALING_CHILD = r"""
+import json, os, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from climate2weather_tpu.diffusion.guidance import GaussianGuidance, SpatioTemporalCoarsening
+from climate2weather_tpu.diffusion.long_sampler import sample_guided_long
+from climate2weather_tpu.diffusion.process import VPCosineProcess
+from climate2weather_tpu.diffusion.window import make_batched_eps_fn
+from climate2weather_tpu.models.score_net import build_score_unet
+from climate2weather_tpu.parallel.mesh import make_mesh, window_sharding
+
+C, window, res, L, chunk = 2, 5, 32, 68, 16
+net = build_score_unet(dict(channels=C * window, embedding_dim=32,
+                            hidden_channels=(8, 16), hidden_blocks=(1, 1),
+                            attention_levels=()), dtype=jnp.float32)
+rng = jax.random.PRNGKey(0)
+params = net.init(rng, jnp.zeros((1, res, res, C * window)), jnp.ones((1,)))
+proc = VPCosineProcess()
+A = SpatioTemporalCoarsening(s_step=4, t_step=4)
+y = jax.random.normal(rng, (L // 4, res // 4, res // 4, C))
+g = GaussianGuidance(A=A, y=y, std=0.1, gamma=7e-4)
+eps_fn = make_batched_eps_fn(net.apply)
+noise = jax.random.normal(rng, (L, C, res, res))
+
+def run(ws, steps):
+    out, _ = sample_guided_long(proc, eps_fn, params, noise,
+        markov_order=window // 2, chunk_size=chunk, guidance=g, steps=steps,
+        window_sharding=ws)
+    return float(jnp.asarray(out).ravel()[0])
+
+def t_per_step(ws):
+    run(ws, 2)  # compile
+    t0 = time.time(); run(ws, 2); t2 = time.time() - t0
+    t0 = time.time(); run(ws, 6); t6 = time.time() - t0
+    return (t6 - t2) / 4.0
+
+t_single = t_per_step(None)
+mesh = make_mesh(data=1, window=8)
+t_sharded = t_per_step(window_sharding(mesh))
+print(json.dumps({"overhead_pct": round((t_sharded / t_single - 1.0) * 100, 1)}))
+"""
+
+
+def measure_scaling_overhead():
+    """Window-sharded sampler on an 8-virtual-device CPU mesh vs unsharded
+    single-device, same total work: percent wall-clock overhead per step
+    (ICI-analog partition/collective cost; virtual devices share host
+    cores, so compute is identical and the delta is orchestration)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _SCALING_CHILD],
+            capture_output=True, text=True, timeout=900,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)["overhead_pct"]
+    except Exception:
+        return None
 
 
 def main():
@@ -43,11 +174,7 @@ def main():
         SpatioTemporalCoarsening,
     )
     from climate2weather_tpu.diffusion.process import VPCosineProcess
-    from climate2weather_tpu.diffusion.sampler import sample as pc_sample
-    from climate2weather_tpu.diffusion.window import (
-        WindowScoreFn,
-        make_batched_eps_fn,
-    )
+    from climate2weather_tpu.diffusion.window import make_batched_eps_fn
     from climate2weather_tpu.models.score_net import build_score_unet
 
     with open("configs/sda_unet.yml") as f:
@@ -101,26 +228,30 @@ def main():
     )
     key = jax.random.fold_in(rng, 3)
 
-    def sync(arr):
-        # force completion with a real device->host fetch:
-        # block_until_ready does not block under remote-relay execution
-        return float(jnp.asarray(arr).ravel()[0])
-
     # warmup (compile)
     out, nan = run(params, y, noise, key)
-    sync(out)
+    _sync(out)
 
     n_iters = 3
     t0 = time.time()
     for i in range(n_iters):
         out, nan = run(params, y, noise, jax.random.fold_in(key, i))
-        sync(out)
+        _sync(out)
     dt = time.time() - t0
 
     total_evals = n_iters * steps * n_windows
     evals_per_sec = total_evals / dt
     n_chips = jax.device_count()
     evals_per_sec_chip = evals_per_sec / n_chips
+
+    # second north-star: measured hours to downscale the 2014 year
+    year = measure_year_sampler(
+        process, eps_fn, params, A, num_features, res, markov_order
+    )
+    # multi-device window-sharding overhead on the virtual CPU mesh
+    overhead_pct = (
+        None if os.environ.get("C2W_BENCH_NO_SCALING") else measure_scaling_overhead()
+    )
 
     print(
         json.dumps(
@@ -133,6 +264,12 @@ def main():
                 "vs_baseline": round(
                     evals_per_sec_chip / A100_BASELINE_EVALS_PER_SEC, 3
                 ),
+                "year2014_hours_per_sample_pc256": round(year["pc256_hours"], 3),
+                "year2014_hours_per_sample_dpmpp64": round(year["dpm64_hours"], 3),
+                "year_vs_baseline_speedup_pc256": round(
+                    A100_BASELINE_YEAR_HOURS / year["pc256_hours"], 2
+                ),
+                "window_sharding_overhead_pct_8dev": overhead_pct,
             }
         )
     )

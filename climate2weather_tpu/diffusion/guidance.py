@@ -97,6 +97,7 @@ class GaussianGuidance:
         t,
     ) -> jnp.ndarray:
         """eps_pred - sigma * grad log p(y | x_t) on a [L, H, W, C] trajectory."""
+        check_observation_shape(self, x.shape)
         mu = process.mu(t)
         sigma = process.sigma(t)
         var = self._var(mu, sigma)
@@ -124,6 +125,33 @@ class GaussianGuidance:
 # GaussianGuidance's detached/exact modes; one implementation serves both
 # (SURVEY.md §2.1 recommends keeping a single copy).
 GaussianScore = GaussianGuidance
+
+
+def check_observation_shape(guidance, trajectory_shape_nhwc) -> None:
+    """Validate guidance.y against the trajectory the sampler will run on.
+
+    The chunked long samplers index observation rows as ``frame // t_step``
+    with clipping, so a mis-sized external observation file would silently
+    condition on wrong/repeated frames (VERDICT r1 weak-item 5); this makes
+    it a hard error.  ``trajectory_shape_nhwc`` is the [L, H, W, C] logical
+    shape (pass NCHW shapes through ``nchw=True`` call sites converted)."""
+    if guidance is None:
+        return
+    L, H, W, C = trajectory_shape_nhwc
+    expected = (
+        guidance.A.out_times(L),
+        H // guidance.A.s_step,
+        W // guidance.A.s_step,
+        C,
+    )
+    if tuple(guidance.y.shape) != expected:
+        raise ValueError(
+            f"observation shape {tuple(guidance.y.shape)} does not match the "
+            f"trajectory: A(x) for L={L} frames of [{H},{W},{C}] gives "
+            f"{expected} (t_step={guidance.A.t_step}, "
+            f"s_step={guidance.A.s_step}). External observation files must "
+            f"cover ceil(L/t_step) frames exactly."
+        )
 
 
 def per_channel(values, num_channels: int) -> jnp.ndarray:

@@ -118,15 +118,29 @@ def sample_host(
     guidance_gamma=1e-2,
     seed: int = 0,
     verbose: bool = False,
+    proc_x0=None,
 ) -> np.ndarray:
     """Predictor-corrector sampling over a host-resident trajectory.
 
-    Same schedule math as diffusion/sampler.py (and the reference
-    src/thor/pipelines.py:41-97); guidance is the detached analytic form.
-    Raises on NaN like the reference.
+    Update formulas are shared with the device samplers
+    (diffusion/steprules.py; reference src/thor/pipelines.py:41-97) with
+    python-float coefficients so everything stays numpy on the host;
+    guidance is the detached analytic form.  ``proc_x0`` post-processes the
+    denoised estimate (full [L, H, W, C] numpy trajectory) each predictor
+    step.  Raises on NaN like the reference.
     """
+    from climate2weather_tpu.diffusion import steprules
+
     x = np.asarray(noise, np.float32).copy()
     L = x.shape[0]
+    if guidance_A is not None:
+        expected_lo = -(-L // guidance_A.t_step)
+        if guidance_y.shape[0] != expected_lo:
+            raise ValueError(
+                f"observation has {guidance_y.shape[0]} time rows; the "
+                f"{L}-frame trajectory with t_step={guidance_A.t_step} "
+                f"requires exactly {expected_lo}"
+            )
     rng = np.random.RandomState(seed)
     time_steps = np.linspace(1.0, 0.0, steps + 1, dtype=np.float64)
     dt = 1.0 / steps
@@ -143,7 +157,7 @@ def sample_host(
         if guidance_A is None:
             return eps
         mu, sigma = schedule(t)
-        x0 = (x - sigma * eps) / mu
+        x0 = steprules.predict_x0(x, eps, mu, sigma)
         err = (guidance_y - guidance_A(x0)) / (std**2 + gamma * (sigma / mu) ** 2)
         eps -= (sigma / mu) * guidance_A.adjoint(err.astype(np.float32), L)
         return eps
@@ -152,15 +166,14 @@ def sample_host(
         mu, sigma = schedule(t)
         mu2, sigma2 = schedule(t - dt)
         eps = guided_eps(x, t)
-        # x0 = (x - sigma*eps)/mu ; x <- mu2*x0 + sigma2*eps, fused in-place
-        x -= sigma * eps
-        x *= mu2 / mu
-        x += sigma2 * eps
+        x = steprules.ddim_step(x, eps, mu, sigma, mu2, sigma2, proc_x0=proc_x0)
         for _ in range(corrections):
             eps = guided_eps(x, t - dt)
-            delta = tau / float(np.mean(np.square(eps), dtype=np.float64))
+            delta = steprules.langevin_delta(
+                tau, float(np.mean(np.square(eps), dtype=np.float64))
+            )
             z = rng.standard_normal(x.shape).astype(np.float32)
-            x -= (delta * eps + np.sqrt(2 * delta) * z) * sigma2
+            x = steprules.langevin_step(x, eps, z, delta, sigma2)
         if not np.isfinite(x).all():
             raise FloatingPointError(f"NaN detected in sample at step {i}")
         if verbose and (i % 16 == 0 or i == steps - 1):

@@ -35,10 +35,18 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from climate2weather_tpu.diffusion import steprules
 from climate2weather_tpu.diffusion.guidance import (
     GaussianGuidance,
     SpatioTemporalCoarsening,
+    check_observation_shape,
 )
+
+
+def _check_obs_nchw(guidance, nchw_shape):
+    if guidance is not None:
+        L, C, H, W = nchw_shape
+        check_observation_shape(guidance, (L, H, W, C))
 
 
 def nchw_window_pass(
@@ -49,6 +57,7 @@ def nchw_window_pass(
     markov_order: int,
     chunk_size: int,
     window_sharding=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """eps prediction over an NCHW trajectory, chunked over windows.
 
@@ -97,7 +106,12 @@ def nchw_window_pass(
         return out, None
 
     out0 = jnp.zeros_like(x)
-    out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
+    # remat: recompute the chunk forward in the backward pass, so vjp through
+    # the scan (exact-grad guidance) stores only per-chunk inputs, not the
+    # UNet activations of every window chunk
+    out, _ = jax.lax.scan(
+        jax.checkpoint(body) if remat else body, out0, jnp.arange(n_chunks)
+    )
     return out
 
 
@@ -199,12 +213,18 @@ def sample_guided_long(
     steps_per_call: Optional[int] = None,
     verbose: bool = False,
     jit_cache: Optional[dict] = None,
+    proc_x0: Optional[Callable] = None,
 ):
     """Guided PC sampling with memory bounded in the trajectory length.
 
     ``noise`` is NCHW [L, C, H, W]; ``eps_apply(params, windows_nhwc, t)``
-    is the window network; ``guidance`` (optional) must use the detached
-    analytic mode.  Returns ``(x_nchw, nan_detected)``.
+    is the window network; ``guidance`` (optional) supports both the
+    detached analytic mode (production) and ``exact_grad=True`` — the
+    latter autodiffs the likelihood through the remat'd chunked window
+    scan (reference src/thor/score.py:28-35 semantics at year scale).
+    ``proc_x0`` post-processes the denoised estimate each predictor step
+    (reference src/thor/pipelines.py:41-46); it receives NCHW [F, C, H, W]
+    frame chunks.  Returns ``(x_nchw, nan_detected)``.
 
     ``steps_per_call`` splits the schedule across multiple jitted calls (a
     Python loop carries the state): year-scale runs can take minutes per
@@ -219,10 +239,8 @@ def sample_guided_long(
     compiled chunk program instead of retracing per call (e.g. per-sample
     loops in the downscaling driver).
     """
-    if guidance is not None:
-        assert not guidance.exact_grad, (
-            "sample_guided_long implements the detached guidance mode"
-        )
+    exact = guidance is not None and guidance.exact_grad
+    _check_obs_nchw(guidance, noise.shape)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     L = noise.shape[0]
@@ -236,6 +254,32 @@ def sample_guided_long(
             eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
         )
 
+    def exact_guided_eps(params_, x, t):
+        """eps - sigma * grad_x log p(y|x_t) with the gradient autodiffed
+        through the (remat'd) chunked window scan — the reference's
+        exact_grad=True semantics (src/thor/score.py:28-35,48-57)."""
+        mu = process.mu(t)
+        sigma = process.sigma(t)
+        y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
+        std = _param_nchw(guidance.std)
+        gamma = _param_nchw(guidance.gamma)
+        var = std**2 + gamma * (sigma / mu) ** 2
+
+        def log_p(xx):
+            eps = nchw_window_pass(
+                eps_apply, params_, xx, t, markov_order, chunk_size,
+                window_sharding, remat=True,
+            )
+            a_x0 = (
+                _coarsen_nchw(guidance.A, xx).astype(jnp.float32)
+                - sigma * _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
+            ) / mu
+            err = y - a_x0
+            return -jnp.sum(err**2 / var) / 2.0, eps
+
+        grad, eps = jax.grad(log_p, has_aux=True)(x)
+        return eps - (sigma * grad).astype(eps.dtype)
+
     def frame_pass(x, eps, err, t, t2, delta=None, z_key=None):
         mu = process.mu(t)
         sigma = process.sigma(t)
@@ -246,18 +290,31 @@ def sample_guided_long(
             f0 = jnp.minimum(ci * F, L - F)
             x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
             e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
-            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t)
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None, process, e_c, err, f0, t
+            )
             if delta is None:
-                x0 = (x_c - sigma.astype(x_c.dtype) * eg) / mu.astype(x_c.dtype)
-                new = mu2.astype(x_c.dtype) * x0 + sigma2.astype(x_c.dtype) * eg
+                new = steprules.ddim_step(
+                    x_c,
+                    eg,
+                    mu.astype(x_c.dtype),
+                    sigma.astype(x_c.dtype),
+                    mu2.astype(x_c.dtype),
+                    sigma2.astype(x_c.dtype),
+                    proc_x0=proc_x0,
+                )
             else:
                 z = jax.random.normal(
                     jax.random.fold_in(z_key, ci), x_c.shape, x_c.dtype
                 )
-                new = x_c - (
-                    delta.astype(x_c.dtype) * eg
-                    + jnp.sqrt(2.0 * delta).astype(x_c.dtype) * z
-                ) * sigma2.astype(x_c.dtype)
+                new = steprules.langevin_step(
+                    x_c,
+                    eg,
+                    z,
+                    delta.astype(x_c.dtype),
+                    sigma2.astype(x_c.dtype),
+                    sqrt2delta=jnp.sqrt(2.0 * delta).astype(x_c.dtype),
+                )
             return jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0), None
 
         out0 = jnp.zeros_like(x)
@@ -268,7 +325,9 @@ def sample_guided_long(
         def body(acc, ci):
             f0 = jnp.minimum(ci * F, L - F)
             e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
-            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t)
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None, process, e_c, err, f0, t
+            )
             frames = f0 + jnp.arange(F)
             fresh = (frames >= ci * F).astype(jnp.float32)
             ss = jnp.sum(
@@ -279,19 +338,28 @@ def sample_guided_long(
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_fchunks))
         return acc
 
+    def guided_eps_and_err(params_, x, t):
+        """(eps, err): exact mode folds guidance into eps via autodiff;
+        detached mode returns the obs-space error for lazy chunked fusion."""
+        if exact:
+            return exact_guided_eps(params_, x, t), None
+        eps = window_pass(params_, x, t)
+        err = _obs_err_nchw(guidance, process, x, eps, t) if guidance else None
+        return eps, err
+
     def step(params_, carry, t):
         x, key, nan_flag = carry
         t2 = t - dt
 
-        eps = window_pass(params_, x, t)
-        err = _obs_err_nchw(guidance, process, x, eps, t) if guidance else None
+        eps, err = guided_eps_and_err(params_, x, t)
         x = frame_pass(x, eps, err, t, t2)
 
         for _ in range(corrections):
             key, zkey = jax.random.split(key)
-            eps = window_pass(params_, x, t2)
-            err = _obs_err_nchw(guidance, process, x, eps, t2) if guidance else None
-            delta = tau / (guided_sumsq(eps, err, t2) / eps.size)
+            eps, err = guided_eps_and_err(params_, x, t2)
+            delta = steprules.langevin_delta(
+                tau, guided_sumsq(eps, err, t2) / eps.size
+            )
             x = frame_pass(x, eps, err, t2, t2, delta=delta, z_key=zkey)
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
@@ -340,10 +408,13 @@ def sample_dpmpp2m_long(
     steps_per_call: Optional[int] = None,
     verbose: bool = False,
     jit_cache: Optional[dict] = None,
+    proc_x0: Optional[Callable] = None,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
-    x0 prediction.  log-SNR step spacing; detached guidance only.
+    x0 prediction.  log-SNR step spacing; detached and exact-grad guidance
+    (the latter autodiffs through the remat'd window scan).  ``proc_x0``
+    post-processes denoised estimates on NCHW [F, C, H, W] frame chunks.
     ``steps_per_call`` splits the schedule across jitted calls (see
     sample_guided_long).
 
@@ -352,8 +423,8 @@ def sample_dpmpp2m_long(
     ``traj_dtype=jnp.bfloat16`` to halve them (schedule math stays fp32;
     observation-space guidance is computed in fp32).
     """
-    if guidance is not None:
-        assert not guidance.exact_grad
+    exact = guidance is not None and guidance.exact_grad
+    _check_obs_nchw(guidance, noise.shape)
     del rng
     from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
 
@@ -364,32 +435,56 @@ def sample_dpmpp2m_long(
     n_fchunks = -(-L // F)
     time_steps = logsnr_time_grid(process, steps)
 
-    def lam(t):
-        return jnp.log(process.mu(t)) - jnp.log(process.sigma(t))
-
     def window_pass(params_, x, t):
         return nchw_window_pass(
             eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
         )
 
+    def exact_guided_eps(params_, x, t):
+        mu = process.mu(t)
+        sigma = process.sigma(t)
+        y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
+        std = _param_nchw(guidance.std)
+        gamma = _param_nchw(guidance.gamma)
+        var = std**2 + gamma * (sigma / mu) ** 2
+
+        def log_p(xx):
+            eps = nchw_window_pass(
+                eps_apply, params_, xx, t, markov_order, chunk_size,
+                window_sharding, remat=True,
+            )
+            a_x0 = (
+                _coarsen_nchw(guidance.A, xx).astype(jnp.float32)
+                - sigma * _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
+            ) / mu
+            err = y - a_x0
+            return -jnp.sum(err**2 / var) / 2.0, eps
+
+        grad, eps = jax.grad(log_p, has_aux=True)(x)
+        return eps - (sigma * grad).astype(eps.dtype)
+
     def step(params_, carry, ts):
         x, prev_x0, prev_h, is_first, nan_flag = carry
         t_prev, t_cur = ts
-        eps = window_pass(params_, x, t_prev)
-        err = (
-            _obs_err_nchw(guidance, process, x, eps, t_prev)
-            if guidance is not None
-            else None
-        )
+        if exact:
+            eps, err = exact_guided_eps(params_, x, t_prev), None
+        else:
+            eps = window_pass(params_, x, t_prev)
+            err = (
+                _obs_err_nchw(guidance, process, x, eps, t_prev)
+                if guidance is not None
+                else None
+            )
 
         mu = process.mu(t_prev)
         sigma = process.sigma(t_prev)
-        h = lam(t_cur) - lam(t_prev)
-        r = prev_h / h
-        sigma_ratio = (process.sigma(t_cur) / sigma).astype(x.dtype)
-        growth = (-(jnp.expm1(-h)) * process.mu(t_cur)).astype(x.dtype)
-        c_multi_cur = (1.0 + 1.0 / (2.0 * r)).astype(x.dtype)
-        c_multi_prev = (1.0 / (2.0 * r)).astype(x.dtype)
+        h, sigma_ratio_f, growth_f, c_cur_f, c_prev_f = steprules.dpm_scalar_coeffs(
+            process, t_prev, t_cur, prev_h
+        )
+        sigma_ratio = sigma_ratio_f.astype(x.dtype)
+        growth = growth_f.astype(x.dtype)
+        c_multi_cur = c_cur_f.astype(x.dtype)
+        c_multi_prev = c_prev_f.astype(x.dtype)
 
         def body(carry2, ci):
             out, new_prev = carry2
@@ -397,10 +492,19 @@ def sample_dpmpp2m_long(
             x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
             e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
             p_c = jax.lax.dynamic_slice_in_dim(prev_x0, f0, F)
-            eg = _guided_eps_chunk_nchw(guidance, process, e_c, err, f0, t_prev)
-            x0 = (x_c - sigma.astype(x_c.dtype) * eg) / mu.astype(x_c.dtype)
-            d = jnp.where(is_first, x0, c_multi_cur * x0 - c_multi_prev * p_c)
-            new = sigma_ratio * x_c + growth * d
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None,
+                process, e_c, err, f0, t_prev,
+            )
+            x0 = steprules.predict_x0(
+                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
+            )
+            if proc_x0 is not None:
+                x0 = proc_x0(x0)
+            d = steprules.dpm_data_estimate(
+                x0, p_c, c_multi_cur, c_multi_prev, ~is_first
+            )
+            new = steprules.dpm_step(x_c, d, sigma_ratio, growth)
             out = jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0)
             new_prev = jax.lax.dynamic_update_slice_in_dim(new_prev, x0, f0, 0)
             return (out, new_prev), None

@@ -22,6 +22,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from climate2weather_tpu.diffusion import steprules
+
 
 def sample(
     process,
@@ -54,21 +56,32 @@ def sample(
 
         # Predictor: denoise at t, re-noise at t - dt.
         eps = score_fn(x, t)
-        x0 = process.denoise(x, t, eps)
-        if proc_x0 is not None:
-            x0 = proc_x0(x0)
-        x = process.renoise(x0, t - dt, eps)
+        x = steprules.ddim_step(
+            x,
+            eps,
+            process.mu(t).astype(x.dtype),
+            process.sigma(t).astype(x.dtype),
+            process.mu(t - dt).astype(x.dtype),
+            process.sigma(t - dt).astype(x.dtype),
+            proc_x0=proc_x0,
+        )
 
         # Langevin corrector steps (static count; unrolled).
         for _ in range(corrections):
             key, sub = jax.random.split(key)
             z = jax.random.normal(sub, x.shape, x.dtype)
             eps_c = score_fn(x, t - dt)
-            delta = tau / jnp.mean(jnp.square(eps_c).astype(jnp.float32))
-            x = x - (
-                delta.astype(x.dtype) * eps_c
-                + jnp.sqrt(2.0 * delta).astype(x.dtype) * z
-            ) * process.sigma(t - dt).astype(x.dtype)
+            delta = steprules.langevin_delta(
+                tau, jnp.mean(jnp.square(eps_c).astype(jnp.float32))
+            )
+            x = steprules.langevin_step(
+                x,
+                eps_c,
+                z,
+                delta.astype(x.dtype),
+                process.sigma(t - dt).astype(x.dtype),
+                sqrt2delta=jnp.sqrt(2.0 * delta).astype(x.dtype),
+            )
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return (x, key, nan_flag), None
@@ -140,9 +153,6 @@ def sample_dpmpp2m(
     else:
         time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)
 
-    def lam(t):
-        return jnp.log(process.mu(t)) - jnp.log(process.sigma(t))
-
     def step(carry, ts):
         x, prev_x0, prev_h, is_first, nan_flag = carry
         t_prev, t_cur = ts
@@ -151,16 +161,15 @@ def sample_dpmpp2m(
         if proc_x0 is not None:
             x0 = proc_x0(x0)
 
-        h = lam(t_cur) - lam(t_prev)
-        r = prev_h / h
-        d_multi = (1.0 + 1.0 / (2.0 * r)).astype(x.dtype) * x0 - (
-            1.0 / (2.0 * r)
-        ).astype(x.dtype) * prev_x0
-        d = jnp.where(is_first, x0, d_multi)
-
-        sigma_ratio = (process.sigma(t_cur) / process.sigma(t_prev)).astype(x.dtype)
-        growth = (-(jnp.expm1(-h)) * process.mu(t_cur)).astype(x.dtype)
-        x = sigma_ratio * x + growth * d
+        h, sigma_ratio, growth, c_cur, c_prev = steprules.dpm_scalar_coeffs(
+            process, t_prev, t_cur, prev_h
+        )
+        d = steprules.dpm_data_estimate(
+            x0, prev_x0, c_cur.astype(x.dtype), c_prev.astype(x.dtype), ~is_first
+        )
+        x = steprules.dpm_step(
+            x, d, sigma_ratio.astype(x.dtype), growth.astype(x.dtype)
+        )
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return (x, x0, h, jnp.asarray(False), nan_flag), None

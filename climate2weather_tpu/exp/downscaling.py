@@ -219,12 +219,10 @@ def _run_impl(
     )
     # Long trajectories use the NCHW memory-bounded sampler: NHWC trajectory
     # buffers with C=4 lane-pad 32x on TPU and blow HBM at year scale
-    # (diffusion/long_sampler.py).
-    use_long = (
-        not use_exact_grad
-        and not host_streaming
-        and L > long_trajectory_threshold
-    )
+    # (diffusion/long_sampler.py).  Both guidance modes are supported there:
+    # detached (analytic adjoint, production) and exact-grad (autodiff
+    # through the remat'd window scan).
+    use_long = not host_streaming and L > long_trajectory_threshold
     if use_long:
         from climate2weather_tpu.diffusion.long_sampler import (
             sample_dpmpp2m_long,
@@ -241,7 +239,8 @@ def _run_impl(
         def sample_one(params, observation, noise_nchw, rng):
             guidance = (
                 GaussianGuidance(
-                    A=A, y=observation, std=sigma, gamma=gamma, exact_grad=False
+                    A=A, y=observation, std=sigma, gamma=gamma,
+                    exact_grad=use_exact_grad,
                 )
                 if do_condition
                 else None

@@ -36,23 +36,55 @@ def _plt():
     return plt
 
 
+def _kde(vals: np.ndarray, grid: np.ndarray, max_points: int = 20000) -> np.ndarray:
+    """Gaussian KDE evaluated on ``grid`` (scipy; deterministic subsample
+    keeps the O(n*m) evaluation tractable on full ensembles)."""
+    from scipy.stats import gaussian_kde
+
+    vals = np.asarray(vals, np.float64).ravel()
+    if vals.size > max_points:
+        vals = vals[:: max(1, vals.size // max_points)][:max_points]
+    if np.std(vals) < 1e-12:
+        out = np.zeros_like(grid)
+        out[np.argmin(np.abs(grid - vals.mean()))] = 1.0
+        return out
+    return gaussian_kde(vals)(grid)
+
+
 def kde_and_pmf(samples: List[GridDataset], gt: GridDataset, out_dir: str) -> str:
-    """Per-variable value-distribution comparison: ensemble vs ground truth
-    (reference exp/figures.py:23)."""
+    """Per-variable value distributions, ensemble vs ground truth: true
+    Gaussian-KDE curves (top row) and log-scale PMF histograms capturing the
+    tails (bottom row) — the reference's kde_and_pmf (exp/figures.py:23)."""
     plt = _plt()
     names = gt.var_names()
-    fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3))
-    for ax, v in zip(np.atleast_1d(axes), names):
+    fig, axes = plt.subplots(
+        2, len(names), figsize=(4 * len(names), 5.5), squeeze=False
+    )
+    for col, v in enumerate(names):
         gt_vals = gt.data_vars[v].ravel()
         s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
-        lo = min(gt_vals.min(), s_vals.min())
-        hi = max(gt_vals.max(), s_vals.max())
-        bins = np.linspace(lo, hi, 80)
-        ax.hist(gt_vals, bins=bins, density=True, alpha=0.5, label="ground truth")
-        ax.hist(s_vals, bins=bins, density=True, alpha=0.5, label="samples")
+        lo = float(min(gt_vals.min(), s_vals.min()))
+        hi = float(max(gt_vals.max(), s_vals.max()))
+        pad = 0.05 * (hi - lo) or 1.0
+        grid = np.linspace(lo - pad, hi + pad, 256)
+        ax = axes[0, col]
+        ax.plot(grid, _kde(gt_vals, grid), "k-", lw=2, label="ground truth")
+        ax.plot(grid, _kde(s_vals, grid), "C0-", lw=2, label="samples")
+        for s in samples[:5]:  # per-member curves show ensemble spread
+            ax.plot(grid, _kde(s.data_vars[v], grid), "C0-", lw=0.5, alpha=0.3)
         name, unit = VAR2NAME.get(v, (v, ""))
         ax.set_title(f"{name} [{unit}]")
-        ax.legend()
+        ax.set_ylabel("KDE density" if col == 0 else "")
+        ax.legend(fontsize=7)
+        # PMF: shared bins, log scale to expose tail behavior
+        axp = axes[1, col]
+        bins = np.linspace(lo, hi, 80)
+        axp.hist(gt_vals, bins=bins, density=True, histtype="step",
+                 color="k", lw=1.5, label="ground truth")
+        axp.hist(s_vals, bins=bins, density=True, histtype="step",
+                 color="C0", lw=1.5, label="samples")
+        axp.set_yscale("log")
+        axp.set_ylabel("PMF (log)" if col == 0 else "")
     fig.tight_layout()
     path = os.path.join(out_dir, "kde_and_pmf.png")
     fig.savefig(path, dpi=120)
@@ -105,8 +137,11 @@ def storm_grid(
     var: str = "uas",
     n_times: int = 6,
 ) -> str:
-    """Snapshot grid: obs / gt / first samples across selected times
-    (reference exp/figures.py:501)."""
+    """Snapshot grid: obs / gt / first samples across selected times,
+    rendered on the Mollweide-projected geographic grid like the
+    reference's cartopy storm grids (exp/figures.py:501-668)."""
+    from climate2weather_tpu.exp.plotting_util import plot_map
+
     plt = _plt()
     T = gt.sizes["time"]
     t_idx = np.linspace(0, T - 1, n_times).astype(int)
@@ -115,12 +150,18 @@ def storm_grid(
     vmin = gt.data_vars[var].min()
     vmax = gt.data_vars[var].max()
     obs_times = obs.time
+    kw = dict(var=var, vmin=vmin, vmax=vmax, add_colorbar=False, title="")
+
+    def panel(ax, field, rlat, rlon):
+        plot_map(field, rlat=rlat, rlon=rlon, ax=ax, graticule=False, **kw)
+
     for j, ti in enumerate(t_idx):
         oi = int(np.argmin(np.abs(obs_times - gt.time[ti])))
-        axes[0, j].imshow(obs.data_vars[var][oi], vmin=vmin, vmax=vmax)
-        axes[1, j].imshow(gt.data_vars[var][ti], vmin=vmin, vmax=vmax)
+        panel(axes[0, j], obs.data_vars[var][oi], obs.rlat, obs.rlon)
+        panel(axes[1, j], gt.data_vars[var][ti], gt.rlat, gt.rlon)
         for r in range(rows - 2):
-            axes[2 + r, j].imshow(samples[r].data_vars[var][ti], vmin=vmin, vmax=vmax)
+            panel(axes[2 + r, j], samples[r].data_vars[var][ti],
+                  samples[r].rlat, samples[r].rlon)
         axes[0, j].set_title(str(gt.time[ti].astype("datetime64[h]")), fontsize=7)
     for ax in axes.ravel():
         ax.set_xticks([])
@@ -186,6 +227,53 @@ def windpowers(
     ax.legend(ncol=3, fontsize=8)
     fig.tight_layout()
     path = os.path.join(out_dir, "windpower.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def windpower_dist(
+    samples: List[GridDataset], gt: GridDataset, out_dir: str
+) -> str:
+    """Wind-power capacity-factor distributions: KDE of the per-hour
+    spatial-mean capacity factor plus a log-PMF over per-pixel hourly
+    capacity factors, ensemble vs ground truth (reference
+    exp/figures.py:1171-1330 wind-power analysis)."""
+    from climate2weather_tpu.exp.windpower import capacity_factor, wind_power
+
+    plt = _plt()
+    fig, (ax_kde, ax_pmf) = plt.subplots(1, 2, figsize=(9, 3.2))
+
+    def cf_fields(ds):
+        return capacity_factor(wind_power(ds.data_vars["uas"], ds.data_vars["vas"]))
+
+    gt_cf = cf_fields(gt)
+    s_cf = [cf_fields(s) for s in samples]
+    grid = np.linspace(0.0, 1.0, 256)
+    ax_kde.plot(grid, _kde(gt_cf.mean(axis=(1, 2)), grid), "k-", lw=2,
+                label="ground truth")
+    ens_mean_cf = np.concatenate([c.mean(axis=(1, 2)) for c in s_cf])
+    ax_kde.plot(grid, _kde(ens_mean_cf, grid), "C0-", lw=2, label="samples")
+    for c in s_cf[:5]:
+        ax_kde.plot(grid, _kde(c.mean(axis=(1, 2)), grid), "C0-", lw=0.5, alpha=0.3)
+    ax_kde.set_xlabel("spatial-mean capacity factor")
+    ax_kde.set_ylabel("KDE density")
+    ax_kde.legend(fontsize=8)
+
+    bins = np.linspace(0, 1, 60)
+    ax_pmf.hist(gt_cf.ravel(), bins=bins, density=True, histtype="step",
+                color="k", lw=1.5, label="ground truth")
+    ax_pmf.hist(np.concatenate([c.ravel() for c in s_cf]), bins=bins,
+                density=True, histtype="step", color="C0", lw=1.5,
+                label="samples")
+    ax_pmf.set_yscale("log")
+    ax_pmf.set_xlabel("per-pixel capacity factor")
+    ax_pmf.set_ylabel("PMF (log)")
+    ax_pmf.legend(fontsize=8)
+    fig.suptitle("E-115/3000 @ 100 m hub, 1/7 power-law from 10 m winds",
+                 fontsize=9)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "windpower_dist.png")
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
@@ -305,6 +393,7 @@ KINDS = {
     "big_grid": lambda s, g, o, d: big_grid(s, g, d),
     "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d),
     "windpower": lambda s, g, o, d: windpowers(s, g, d),
+    "windpower_dist": lambda s, g, o, d: windpower_dist(s, g, d),
 }
 
 

@@ -1,19 +1,82 @@
 """Map plotting, animations, and composite helpers.
 
 Capability parity with the reference ``exp/plotting_util.py`` (542 LoC):
-rotated-pole map plotting with borders (plot_map/add_borders, :58-121),
+rotated-pole map plotting with borders (plot_map/add_borders, :58-143),
 variable naming (var2name, :96), animations (:144,426), coarse-over-fine
 overlays (assign_overlapping_values, :436), and RGB "sandwich" composites
-(:483).  Cartopy is not installed in this image, so map rendering uses
-matplotlib imshow on the rotated-pole coordinate extents, with cartopy
-features applied when the package is importable.
+(:483).
+
+The reference draws ``pcolormesh(xda.longitude, xda.latitude, ...)`` on a
+cartopy Mollweide axis (plotting_util.py:121-143, figures.py:281).  Cartopy
+is not installed in this image, so the projection pipeline is implemented
+directly: COSMO rotated-pole -> geographic lon/lat (the stored-coords
+transform; COSMO-REA6 rotated north pole at 39.25N, -162E) and the
+Mollweide forward projection, rendered with plain matplotlib pcolormesh
+plus a graticule.  Cartopy borders/coastlines are added when the package is
+importable.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
+
+# COSMO-REA6 grid: rotated north pole (CF grid_north_pole_latitude/longitude)
+POLE_LAT = 39.25
+POLE_LON = -162.0
+
+
+def rotated_to_lonlat(
+    rlon_deg: np.ndarray,
+    rlat_deg: np.ndarray,
+    pole_lon: float = POLE_LON,
+    pole_lat: float = POLE_LAT,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rotated-pole coordinates -> geographic lon/lat [deg].
+
+    Standard COSMO/CF back-rotation: with the rotated north pole at
+    geographic (pole_lon, pole_lat), a point at rotated (rlon, rlat) maps to
+
+        lat = asin( sin(rlat) sin(pole_lat) + cos(rlat) cos(rlon) cos(pole_lat) )
+        lon = pole_lon + atan2( cos(rlat) sin(rlon),
+                                sin(pole_lat) cos(rlat) cos(rlon)
+                                - cos(pole_lat) sin(rlat) ) + 180
+
+    Accepts 1-D axes (broadcast to a 2-D grid) or matching 2-D arrays.
+    """
+    rlon = np.deg2rad(np.asarray(rlon_deg, np.float64))
+    rlat = np.deg2rad(np.asarray(rlat_deg, np.float64))
+    if rlon.ndim == 1 and rlat.ndim == 1:
+        rlon, rlat = np.meshgrid(rlon, rlat)
+    sp, cp = np.sin(np.deg2rad(pole_lat)), np.cos(np.deg2rad(pole_lat))
+    lat = np.arcsin(np.sin(rlat) * sp + np.cos(rlat) * np.cos(rlon) * cp)
+    lon = np.arctan2(
+        np.cos(rlat) * np.sin(rlon),
+        sp * np.cos(rlat) * np.cos(rlon) - cp * np.sin(rlat),
+    )
+    lon_deg = np.rad2deg(lon) + pole_lon + 180.0
+    lon_deg = (lon_deg + 180.0) % 360.0 - 180.0
+    return lon_deg, np.rad2deg(lat)
+
+
+def mollweide_xy(
+    lon_deg: np.ndarray, lat_deg: np.ndarray, lon0: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mollweide forward projection (unit sphere), Newton-iterated.
+
+    The reference renders every map on ``ctp.crs.Mollweide()``
+    (figures.py:281 et al.); this is the same mapping without cartopy."""
+    lam = np.deg2rad(((np.asarray(lon_deg) - lon0 + 180.0) % 360.0) - 180.0)
+    phi = np.deg2rad(np.asarray(lat_deg))
+    theta = phi.copy()
+    for _ in range(8):  # Newton: 2θ + sin 2θ = π sin φ
+        f = 2.0 * theta + np.sin(2.0 * theta) - np.pi * np.sin(phi)
+        df = 2.0 + 2.0 * np.cos(2.0 * theta)
+        theta = theta - f / np.maximum(df, 1e-9)
+    x = (2.0 * np.sqrt(2.0) / np.pi) * lam * np.cos(theta)
+    y = np.sqrt(2.0) * np.sin(theta)
+    return x, y
 
 VAR2NAME = {
     "psl": ("Sea-level pressure", "hPa"),
@@ -44,6 +107,23 @@ def _plt():
     return plt
 
 
+def _graticule(ax, lon_grid, lat_grid, lon0, step=2.0):
+    """Lat/lon gridlines over the projected domain (the Mollweide axis'
+    gridlines in the reference's cartopy rendering)."""
+    lon_min, lon_max = float(lon_grid.min()), float(lon_grid.max())
+    lat_min, lat_max = float(lat_grid.min()), float(lat_grid.max())
+    lons = np.arange(np.floor(lon_min / step) * step, lon_max + step, step)
+    lats = np.arange(np.floor(lat_min / step) * step, lat_max + step, step)
+    for lo in lons:
+        la = np.linspace(lat_min, lat_max, 50)
+        x, y = mollweide_xy(np.full_like(la, lo), la, lon0)
+        ax.plot(x, y, color="gray", lw=0.3, alpha=0.6, zorder=12)
+    for la in lats:
+        lo = np.linspace(lon_min, lon_max, 50)
+        x, y = mollweide_xy(lo, np.full_like(lo, la), lon0)
+        ax.plot(x, y, color="gray", lw=0.3, alpha=0.6, zorder=12)
+
+
 def plot_map(
     field: np.ndarray,
     rlat: Optional[np.ndarray] = None,
@@ -54,19 +134,41 @@ def plot_map(
     vmax=None,
     add_colorbar: bool = True,
     title: Optional[str] = None,
+    lon: Optional[np.ndarray] = None,
+    lat: Optional[np.ndarray] = None,
+    graticule: bool = True,
 ):
-    """Render one [H, W] field on its rotated-pole grid.  Uses cartopy's
-    rotated-pole projection + borders when importable, imshow otherwise."""
+    """Render one [H, W] field on its geographic grid, Mollweide-projected
+    (the reference's pcolormesh-on-cartopy pipeline, plotting_util.py:121-143).
+
+    Coordinates: pass stored 2-D ``lon``/``lat`` aux coords directly, or the
+    rotated-pole axes ``rlat``/``rlon`` (transformed via the COSMO-REA6
+    pole).  With no coordinates at all, falls back to a plain imshow.
+    Cartopy borders/coastlines are overlaid when the package is importable.
+    """
     plt = _plt()
     if ax is None:
         _, ax = plt.subplots(figsize=(4, 4))
-    extent = None
-    if rlat is not None and rlon is not None:
-        extent = [rlon[0], rlon[-1], rlat[0], rlat[-1]]
     cmap = VAR2CMAP.get(var, "viridis")
-    im = ax.imshow(
-        field, origin="lower", extent=extent, cmap=cmap, vmin=vmin, vmax=vmax
-    )
+
+    if lon is None and rlat is not None and rlon is not None:
+        lon, lat = rotated_to_lonlat(rlon, rlat)
+    if lon is not None:
+        lon0 = float(np.mean(lon))
+        x, y = mollweide_xy(lon, lat, lon0)
+        im = ax.pcolormesh(
+            x, y, field, cmap=cmap, vmin=vmin, vmax=vmax, shading="auto",
+            zorder=11,
+        )
+        if graticule:
+            _graticule(ax, lon, lat, lon0)
+        ax.set_aspect("equal")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    else:
+        im = ax.imshow(
+            field, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax
+        )
     try:  # optional cartopy borders
         import cartopy.feature as cfeature  # type: ignore
 
@@ -76,7 +178,7 @@ def plot_map(
         pass
     if title:
         ax.set_title(title, fontsize=9)
-    elif var:
+    elif title is None and var:  # title="" suppresses entirely
         ax.set_title(var2name(var), fontsize=9)
     if add_colorbar:
         plt.colorbar(im, ax=ax, shrink=0.8)

@@ -309,6 +309,11 @@ def training_loop(
             and (done or cur_ndata % status_ndata == 0)
             and (cur_ndata != start_ndata or start_ndata == 0)
         ):
+            if losses_accum:
+                # drain the async dispatch queue so sec/tick measures device
+                # time, not enqueue time (device_get: block_until_ready is a
+                # no-op under remote-relay execution)
+                jax.device_get(losses_accum[-1])
             cur_time = time.time()
             total_elapsed_time += cur_time - prev_status_time
             denom = max(cur_ndata - prev_status_ndata, 1)

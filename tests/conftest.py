@@ -63,6 +63,21 @@ def tiny_net():
 
 
 @pytest.fixture
+def tiny_h5_4var(tmp_path):
+    """A small [T=48, C=4, H=16, W=16] HDF5 training file (multi-host test)."""
+    import h5py
+
+    path = tmp_path / "train4.h5"
+    rng = np.random.RandomState(1)
+    x = rng.randn(48, 4, 16, 16).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("x", data=x)
+        f.attrs["vars"] = ["psl", "tas", "uas", "vas"]
+        f.attrs["norm_mode"] = "quant95"
+    return str(path)
+
+
+@pytest.fixture
 def tiny_h5(tmp_path):
     """A small [T=20, C=2, H=16, W=16] HDF5 training file."""
     import h5py

@@ -46,3 +46,51 @@ def test_overlay_and_sandwich():
     assert rgb.shape == (8, 8, 3)
     assert rgb.min() >= 0 and rgb.max() <= 1
     assert "pressure" in var2name("psl")
+
+
+def test_rotated_pole_transform():
+    """Rotated (0,0) on the COSMO-REA6 grid must map to the geographic
+    domain center (~18E, ~50.75N); pole at 90N must be the identity."""
+    from climate2weather_tpu.exp.plotting_util import rotated_to_lonlat
+
+    lon, lat = rotated_to_lonlat(np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose(lon, [[18.0]], atol=1e-6)
+    np.testing.assert_allclose(lat, [[90.0 - 39.25]], atol=1e-6)
+    # identity when the rotated pole IS the geographic pole (pole_lon=-180
+    # cancels the +180 convention)
+    lon, lat = rotated_to_lonlat(
+        np.array([5.0, -3.0]), np.array([40.0, 50.0]),
+        pole_lon=-180.0, pole_lat=90.0,
+    )
+    np.testing.assert_allclose(lon[0], [5.0, -3.0], atol=1e-6)
+    np.testing.assert_allclose(lat[:, 0], [40.0, 50.0], atol=1e-6)
+    # round-trip monotonicity over the COSMO patch extent
+    lon, lat = rotated_to_lonlat(
+        np.linspace(-4.22, 2.77, 8), np.linspace(-6.07, 0.92, 8)
+    )
+    assert np.all(np.diff(lon, axis=1) > 0) and np.all(np.diff(lat, axis=0) > 0)
+
+
+def test_mollweide_projection():
+    from climate2weather_tpu.exp.plotting_util import mollweide_xy
+
+    x, y = mollweide_xy(np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose([x[0], y[0]], [0.0, 0.0], atol=1e-9)
+    x, y = mollweide_xy(np.array([0.0]), np.array([90.0]))
+    np.testing.assert_allclose(y[0], np.sqrt(2.0), atol=1e-6)
+    # +180 wraps to the antimeridian (same meridian as -180): |x| = 2*sqrt(2)
+    x, y = mollweide_xy(np.array([180.0]), np.array([0.0]))
+    np.testing.assert_allclose(np.abs(x[0]), 2.0 * np.sqrt(2.0), atol=1e-6)
+
+
+def test_kde_is_a_density():
+    from climate2weather_tpu.exp.figures import _kde
+
+    rng = np.random.RandomState(0)
+    vals = rng.randn(5000)
+    grid = np.linspace(-6, 6, 512)
+    d = _kde(vals, grid)
+    np.testing.assert_allclose(np.trapezoid(d, grid), 1.0, atol=0.02)
+    # peak near 0 at approximately the standard normal density
+    assert abs(grid[np.argmax(d)]) < 0.3
+    np.testing.assert_allclose(d.max(), 1 / np.sqrt(2 * np.pi), rtol=0.15)

@@ -147,3 +147,78 @@ def test_single_step_relative_match(setup):
     )
     # values are ~1/mu(1)=1000x amplified after one step; compare relatively
     np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_long_exact_grad_matches_short_autodiff(setup):
+    """exact_grad=True on the long path (grad through the remat'd chunked
+    window scan) must match the short path's jax.grad through the full
+    score function (reference src/thor/score.py:28-35 semantics)."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    from dataclasses import replace
+
+    g_exact = replace(guidance, exact_grad=True)
+    want, nan_w = sample(
+        proc, lambda x, t: g_exact.guided_eps(sf, proc, x, t), noise, steps=2
+    )
+    got, nan_g = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=g_exact, steps=2, frame_chunk=5,
+    )
+    assert not bool(nan_w) and not bool(nan_g)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    # dpm flavor also accepts exact guidance
+    got_d, nan_d = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=g_exact, steps=3, frame_chunk=5,
+    )
+    assert not bool(nan_d)
+    assert np.all(np.isfinite(np.asarray(got_d)))
+
+
+def test_long_proc_x0_threaded(setup):
+    """proc_x0 must be applied at each predictor step (reference
+    src/thor/pipelines.py:41-46): clamping x0 to 0 makes the output pure
+    re-noised zero-state, which differs from the unprocessed run."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    clamp = lambda x0: jnp.zeros_like(x0)
+    want, _ = sample(proc, sf, noise, steps=3, proc_x0=clamp)
+    got, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=3, frame_chunk=5,
+        proc_x0=clamp,
+    )
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    base, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=3, frame_chunk=5,
+    )
+    assert not np.allclose(np.asarray(got), np.asarray(base))
+    # dpm flavor
+    want_d, _ = sample_dpmpp2m(proc, sf, noise, steps=3, proc_x0=clamp)
+    got_d, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=3, frame_chunk=5,
+        proc_x0=clamp,
+    )
+    np.testing.assert_allclose(to_nhwc(got_d), np.asarray(want_d), rtol=2e-2, atol=2e-2)
+
+
+def test_obs_shape_mismatch_raises(setup):
+    """A mis-sized external observation must be a hard error, not silent
+    wrong-frame conditioning (VERDICT r1 weak-item 5)."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    from dataclasses import replace
+
+    bad = replace(guidance, y=guidance.y[:-1])  # one obs row short
+    with pytest.raises(ValueError, match="observation"):
+        sample_guided_long(
+            proc, eps_fn, params, to_nchw(noise),
+            markov_order=k, chunk_size=4, guidance=bad, steps=1, frame_chunk=5,
+        )
+    with pytest.raises(ValueError, match="observation"):
+        sample_dpmpp2m_long(
+            proc, eps_fn, params, to_nchw(noise),
+            markov_order=k, chunk_size=4, guidance=bad, steps=1, frame_chunk=5,
+        )
+    with pytest.raises(ValueError, match="observation"):
+        sample(proc, lambda x, t: bad.guided_eps(sf, proc, x, t), noise, steps=1)

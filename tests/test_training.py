@@ -84,16 +84,94 @@ def test_train_step_decreases_loss(tiny_net):
 
 
 def test_train_step_accumulation_matches_big_batch(tiny_net):
-    """Gradient accumulation over 2 rounds must equal one 2x batch step
-    (same rng per microbatch round is not required — just check determinism
-    of the accumulated-step math by comparing against manual mean of grads)."""
+    """The no_backward_sync contract (reference training_loop.py:373-378):
+    N accumulation rounds must produce exactly one optimizer step whose
+    gradient is the mean of the per-microbatch gradients — i.e. the same
+    update a single big-batch step would take given the same per-sample
+    (t, eps) draws.  Verified by reconstructing that update manually with
+    the identical per-round rngs and asserting parameter equality."""
+    import optax
+
     net, params, C, window = tiny_net
     proc = VPCosineProcess()
-    opt = make_optimizer(lambda s: 1e-3, dict())
+    # SGD keeps the update LINEAR in the gradient, so the comparison tests
+    # the accumulation algebra itself; Adam's first-step g/|g| normalization
+    # would amplify fp32 jit-vs-eager reassociation noise on near-zero
+    # gradient entries into full +-lr sign flips.
+    opt = optax.sgd(1e-3)
     state = init_train_state(params, opt, (0.999,))
     step2 = jax.jit(make_train_step(net.apply, proc, opt, (0.999,)))
     rng = jax.random.PRNGKey(1)
     batch = jax.random.normal(rng, (2, 4, 16, 16, C * window))
+
+    # production path: one jitted step with 2 accumulation rounds
     state2, loss2 = step2(state, batch, rng)
-    assert np.isfinite(float(loss2))
     assert int(state2.step) == 1
+
+    # manual reconstruction: mean of per-microbatch grads, single update —
+    # what a single big-batch step computes given the same per-sample draws
+    def loss_fn(p, mb, r):
+        return proc.loss(r, lambda xt, t, f: net.apply(p, xt, t), mb)
+
+    rngs = jax.random.split(rng, 2)
+    l0, g0 = jax.value_and_grad(loss_fn)(params, batch[0], rngs[0])
+    l1, g1 = jax.value_and_grad(loss_fn)(params, batch[1], rngs[1])
+    grads = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    updates, _ = opt.update(grads, state.opt_state, params)
+    params_manual = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss2), float((l0 + l1) / 2.0), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        state2.params,
+        params_manual,
+    )
+    # and the EMA saw exactly one lerp toward the updated params
+    jax.tree.map(
+        lambda e, p0, p1: np.testing.assert_allclose(
+            e, 0.999 * p0 + 0.001 * p1, rtol=1e-5, atol=1e-6
+        ),
+        state2.emas[rate_key(0.999)],
+        params,
+        params_manual,
+    )
+
+
+def test_prefetch_loader_deterministic_order(tiny_h5):
+    """Multi-threaded prefetch must yield batches in exact sampler order
+    (reference DataLoader is order-preserving), making ndata-resume
+    bit-reproducible on the streaming path (VERDICT r1 weak-item 3)."""
+    from climate2weather_tpu.data.dataset import PrefetchLoader
+    import itertools
+
+    path, _ = tiny_h5
+    ds = WindowDataset(path, num_features=2, spatial_res=16, window=5, cached=True)
+
+    def collect(num_threads, start_idx=0, n=12):
+        sampler = InfiniteSampler(len(ds), seed=3, start_idx=start_idx)
+        loader = PrefetchLoader(
+            ds, sampler, batch_size=2, rounds=2, num_threads=num_threads
+        ).start()
+        out = list(itertools.islice(iter(loader), n))
+        loader.stop()
+        return out
+
+    multi = collect(num_threads=4)
+    single = collect(num_threads=1)
+    for a, b in zip(multi, single):
+        np.testing.assert_array_equal(a, b)
+
+    # reference order: assemble straight from the sampler
+    sampler = InfiniteSampler(len(ds), seed=3)
+    it = iter(sampler)
+    for batch in multi:
+        for flat in batch.reshape((-1,) + batch.shape[2:]):
+            i = next(it)
+            want = ds.load_window_flat(i)
+            np.testing.assert_array_equal(flat, want)
+
+    # resume: restarting at consumed ndata reproduces the suffix exactly
+    consumed = 6 * 2 * 2  # 6 batches of rounds*B indices
+    resumed = collect(num_threads=3, start_idx=consumed, n=6)
+    for a, b in zip(resumed, multi[6:]):
+        np.testing.assert_array_equal(a, b)
