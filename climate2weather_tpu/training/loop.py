@@ -87,7 +87,13 @@ def training_loop(
     snapshot_ndata, checkpoint_ndata = norm(snapshot_ndata), norm(checkpoint_ndata)
     valid_ndata, slice_ndata = norm(valid_ndata), norm(slice_ndata)
     set_random_seed(seed, jax.process_index())
+    # per-process stream: rank-0-only side effects (validation sampling).
+    # Everything entering the jitted global program (init, per-step loss rng)
+    # must be IDENTICAL across processes — replicated jit arguments are
+    # asserted equal by jax, and the reference's DDP likewise broadcasts
+    # rank-0 weights (params differing per rank would silently diverge).
     rng = jax.random.PRNGKey(derive_seed(seed, jax.process_index()))
+    shared_rng = jax.random.PRNGKey(derive_seed(seed, "global-train-stream"))
 
     mesh = mesh if mesh is not None else make_mesh()
     n_devices = mesh.devices.size
@@ -122,7 +128,7 @@ def training_loop(
     net = build_score_unet(network_kwargs, dtype=compute_dtype)
     sample_item = train_dataset[0]
     print(f"Data shape: {sample_item.shape}")
-    rng, init_rng = jax.random.split(rng)
+    shared_rng, init_rng = jax.random.split(shared_rng)
     params = net.init(
         init_rng,
         jnp.zeros((1,) + sample_item.shape, jnp.float32),
@@ -460,7 +466,9 @@ def training_loop(
 
         # ---- optimization step -------------------------------------------
         batch_start_time = time.time()
-        rng, step_rng = jax.random.split(rng)
+        # fold in the step index: the per-step (t, eps) draws replay exactly
+        # across checkpoint resume, matching the sampler's ndata-resume
+        step_rng = jax.random.fold_in(shared_rng, cur_ndata // batch_size)
         if use_device_data:
             idx = np.fromiter(
                 (next(index_iter) for _ in range(local_batch)), np.int32,
