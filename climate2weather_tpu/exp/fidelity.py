@@ -1,0 +1,205 @@
+"""Statistical-fidelity acceptance harness.
+
+The reference's de-facto acceptance test is its paper-metrics machinery run
+on a trained checkpoint (exp/metrics.py:219-296 protocol on the
+exp/configs/000_on-model-eval workload).  This module packages that whole
+protocol as one command:
+
+1. guided downscaling of a held-out window (self-observation conditioning,
+   the on-model-eval setup, reference exp/configs/000_on-model-eval/s16_t6.yml),
+2. an unconditional ensemble of the same shape (the "guidance off" control —
+   quality claims require guided << unconditional on Wasserstein/SSIM),
+3. metrics (sliced W2 / MELR / SSIM, observation-time-grid protocol) for both,
+4. spectra + distribution + map figures for the guided run,
+5. a FIDELITY.md summary table.
+
+Usage:
+    python -m climate2weather_tpu.exp.fidelity run \
+        --snapshot runs/.../network-snapshot-XXXXXXX-0.999900 \
+        --data-nc runs/synth/eval_merged.nc \
+        --quantiles runs/synth/quantiles.h5 \
+        --out runs/fidelity_eval --start-time 2014-01-07-00
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Optional, Sequence
+
+import numpy as np
+import yaml
+
+# reference-tuned likelihood hyperparameters (s16_t6.yml:16-22)
+DEFAULT_STD = [0.1692666615037876, 0.0425178630338289,
+               0.3268027589410125, 0.3268027589410125]
+DEFAULT_GAMMA = 0.0007196856730011522
+
+
+def _predict(out_dir: str, cfg: dict) -> pathlib.Path:
+    from climate2weather_tpu.exp import downscaling
+
+    os.makedirs(out_dir, exist_ok=True)
+    cfg_path = os.path.join(out_dir, "config.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return downscaling.run(out_dir, cfg_path)
+
+
+def _fmt(vals) -> str:
+    return f"{np.mean(vals):.4f} ± {np.std(vals):.4f}"
+
+
+def run(
+    snapshot: str,
+    data_nc: str,
+    quantiles: str,
+    out: str,
+    start_time: str,
+    num_hours: int = 49,
+    num_samples: int = 30,
+    num_sampling_steps: int = 256,
+    ensemble_batch: int = 3,
+    batch_size: int = 128,
+    t_step: int = 6,
+    s_step: int = 16,
+    data_vars: Sequence[str] = ("psl", "tas", "uas", "vas"),
+    likelihood_std: Optional[Sequence[float]] = None,
+    likelihood_gamma: float = DEFAULT_GAMMA,
+    uncond_samples: Optional[int] = None,
+    seed: int = 0,
+    skip_figures: bool = False,
+) -> dict:
+    from climate2weather_tpu.exp import figures, metrics
+
+    out_path = pathlib.Path(out)
+    out_path.mkdir(parents=True, exist_ok=True)
+    base = dict(
+        model_path=snapshot,
+        data_path=data_nc,
+        quantile_path=quantiles,
+        start_time=start_time,
+        num_hours=int(num_hours),
+        data_norm_mode="quant95",
+        data_vars=list(data_vars),
+        num_sampling_steps=int(num_sampling_steps),
+        num_corrections=0,
+        correction_tau=0.5,
+        t_step=int(t_step),
+        s_step=int(s_step),
+        batch_size=int(batch_size),
+        ensemble_batch=int(ensemble_batch),
+        seed=int(seed),
+        use_exact_grad=False,
+    )
+
+    print("=== guided (on-model-eval conditioning) ===")
+    guided_dir = _predict(
+        str(out_path / "guided"),
+        dict(
+            base,
+            observation_path=data_nc,
+            likelihood_std=list(likelihood_std or DEFAULT_STD),
+            likelihood_gamma=float(likelihood_gamma),
+            num_samples=int(num_samples),
+        ),
+    )
+
+    print("=== unconditional control ===")
+    uncond_dir = _predict(
+        str(out_path / "uncond"),
+        dict(
+            base,
+            observation_path=None,
+            num_samples=int(uncond_samples or max(8, num_samples // 2)),
+        ),
+    )
+    # metrics need an observation grid to define comparison times; the
+    # unconditional run saves no observation.nc, so borrow the guided one
+    # (same window, same grid).
+    import shutil
+
+    if not (pathlib.Path(uncond_dir) / "observation.nc").exists():
+        shutil.copy(
+            pathlib.Path(guided_dir) / "observation.nc",
+            pathlib.Path(uncond_dir) / "observation.nc",
+        )
+        shutil.copy(
+            pathlib.Path(guided_dir) / "ground_truth.nc",
+            pathlib.Path(uncond_dir) / "ground_truth.nc",
+        )
+
+    print("=== metrics: guided ===")
+    m_guided = metrics.run(str(guided_dir))
+    print("=== metrics: unconditional ===")
+    m_uncond = metrics.run(str(uncond_dir))
+
+    if not skip_figures:
+        fig_kinds = ("kde_and_pmf", "rapsd", "timeseries", "storm_grid",
+                     "windpower_dist", "climate_grid")
+        for kind in fig_kinds:
+            try:
+                figures.make(kind, str(guided_dir))
+            except Exception as e:  # figures must not block the numbers
+                print(f"figure {kind} failed: {type(e).__name__}: {e}")
+
+    # ---- FIDELITY.md ------------------------------------------------------
+    lines = [
+        "# Statistical fidelity report",
+        "",
+        f"- snapshot: `{snapshot}`",
+        f"- workload: {num_hours} h from {start_time}, {num_samples} guided "
+        f"samples, {num_sampling_steps} steps, s_step={s_step}, "
+        f"t_step={t_step} (reference on-model-eval protocol, "
+        "exp/configs/000_on-model-eval/s16_t6.yml)",
+        f"- metrics protocol: observation time grid, gt-standardized "
+        f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
+        "(reference exp/metrics.py:219-296)",
+        "",
+        "| metric | variable | guided | unconditional |",
+        "|---|---|---|---|",
+    ]
+    for kind in ("wasserstein", "melr", "ssim"):
+        for v in sorted(m_guided[kind]):
+            lines.append(
+                f"| {kind} | {v} | {_fmt(m_guided[kind][v]['global'])} "
+                f"| {_fmt(m_uncond[kind][v]['global'])} |"
+            )
+    lines += [
+        "",
+        "Guided sampling must beat the unconditional control on W2 and SSIM "
+        "(it is conditioned on coarsened truth); MELR measures spectral "
+        "fidelity and should be small and similar for both.",
+        f"\nFigures: `{guided_dir}/figures/`",
+    ]
+    report = out_path / "FIDELITY.md"
+    report.write_text("\n".join(lines) + "\n")
+    print(f"Wrote {report}")
+    return {"guided": m_guided, "uncond": m_uncond,
+            "guided_dir": str(guided_dir), "uncond_dir": str(uncond_dir)}
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--snapshot", required=True)
+    @click.option("--data-nc", required=True)
+    @click.option("--quantiles", required=True)
+    @click.option("--out", required=True)
+    @click.option("--start-time", required=True)
+    @click.option("--num-hours", default=49, type=int)
+    @click.option("--num-samples", default=30, type=int)
+    @click.option("--num-sampling-steps", default=256, type=int)
+    @click.option("--ensemble-batch", default=3, type=int)
+    @click.option("--uncond-samples", default=None, type=int)
+    @click.option("--seed", default=0, type=int)
+    @click.option("--skip-figures", is_flag=True)
+    def cli(**kw):
+        run(**kw)
+
+    cli()
+
+
+if __name__ == "__main__":
+    main()
