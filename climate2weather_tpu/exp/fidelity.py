@@ -14,7 +14,7 @@ protocol as one command:
 5. a FIDELITY.md summary table.
 
 Usage:
-    python -m climate2weather_tpu.exp.fidelity run \
+    python -m climate2weather_tpu.exp.fidelity \
         --snapshot runs/.../network-snapshot-XXXXXXX-0.999900 \
         --data-nc runs/synth/eval_merged.nc \
         --quantiles runs/synth/quantiles.h5 \

@@ -369,12 +369,12 @@ def downscaled_clim_dist(
         for (samples, _, _), label in zip(loaded, labels):
             s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
             lo, hi = min(lo, s_vals.min()), max(hi, s_vals.max())
-        bins = np.linspace(lo, hi, 80)
-        ax.hist(gt_vals, bins=bins, density=True, histtype="step", lw=2,
-                color="k", label="ground truth")
+        pad = 0.05 * (hi - lo) or 1.0
+        grid = np.linspace(lo - pad, hi + pad, 256)
+        ax.plot(grid, _kde(gt_vals, grid), "k-", lw=2, label="ground truth")
         for (samples, _, _), label in zip(loaded, labels):
             s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
-            ax.hist(s_vals, bins=bins, density=True, histtype="step", label=label)
+            ax.plot(grid, _kde(s_vals, grid), lw=1.5, label=label)
         name, unit = VAR2NAME.get(v, (v, ""))
         ax.set_title(f"{name} [{unit}]")
         ax.legend(fontsize=7)

@@ -323,6 +323,8 @@ def training_loop(
             cur_time = time.time()
             total_elapsed_time += cur_time - prev_status_time
             denom = max(cur_ndata - prev_status_ndata, 1)
+            # sec/kdata from tick WALL time: step dispatch is async, so the
+            # per-step accumulator would only measure enqueue latency
             print(
                 " +++ ".join(
                     [
@@ -330,7 +332,7 @@ def training_loop(
                         f"{cur_ndata} / {total_ndata} ({cur_ndata / total_ndata:.2%})",
                         f"{total_elapsed_time:.2f} sec total",
                         f"{cur_time - prev_status_time:.2f} sec/tick",
-                        f"{cumulative_training_time / denom * 1e3:.3f} sec/kdata",
+                        f"{(cur_time - prev_status_time) / denom * 1e3:.3f} sec/kdata",
                     ]
                 ),
                 flush=True,
@@ -340,9 +342,12 @@ def training_loop(
             prev_status_time = cur_time
 
         # ---- EMA snapshot (training_loop.py:234-267)
-        # fp16 payload like the reference; the device->fp16 cast runs now
-        # (fresh buffers, immune to next-step donation of the EMA tree) and
-        # the fetch+write run on the writer thread, off the step path.
+        # fp16 payload like the reference.  The device->host FETCH runs on
+        # the MAIN thread: device reads issued from a second thread starve
+        # behind the continuously-queued training steps on relay-style
+        # runtimes (observed: a 144 MB snapshot fetch making zero progress
+        # for 12+ minutes while training dispatched ahead).  Only the
+        # serialize+disk write goes to the writer thread.
         if (
             snapshot_ndata is not None
             and cur_ndata % snapshot_ndata == 0
@@ -350,11 +355,14 @@ def training_loop(
             and jax.process_index() == 0
         ):
             for rate in ema_rates:
-                snap_params = jax.tree.map(
-                    lambda p: p.astype(jnp.float16), state.emas[rate_key(rate)]
+                snap_host = jax.device_get(
+                    jax.tree.map(
+                        lambda p: p.astype(jnp.float16),
+                        state.emas[rate_key(rate)],
+                    )
                 )
                 writer.submit(
-                    lambda nd=cur_ndata, rk=rate_key(rate), sp=snap_params: (
+                    lambda nd=cur_ndata, rk=rate_key(rate), sp=snap_host: (
                         save_snapshot(
                             run_dir, nd // 1000, rk, sp, snap_config,
                             half_precision=True,
@@ -429,24 +437,23 @@ def training_loop(
             losses_accum = []  # cleared regardless of logger (device buffers!)
 
         # ---- checkpoint (training_loop.py:353-363)
-        # On-device copy decouples the fetch from train-step buffer donation,
-        # so the (slow-link) device->host transfer and file write both run on
-        # the writer thread while training continues.
+        # Same split as snapshots: main-thread fetch (writer-thread device
+        # reads starve behind the dispatch queue), writer-thread file write.
         if (
             checkpoint_ndata is not None
             and (done or cur_ndata % checkpoint_ndata == 0)
             and cur_ndata != start_ndata
             and jax.process_index() == 0
         ):
-            state_copy = jax.tree.map(jnp.copy, state)
+            state_host = jax.device_get(state)
             ckpt_path = os.path.join(
                 run_dir, f"training-state-{cur_ndata // 1000:07d}.ckpt"
             )
             keep_last = int(os.environ.get("C2W_CKPT_KEEP", 0))
 
-            def _write_ckpt(sc=state_copy, path=ckpt_path, keep=keep_last):
+            def _write_ckpt(sc=state_host, path=ckpt_path, keep=keep_last):
                 CheckpointIO(
-                    state=jax.device_get(sc), meta={"batch_size": batch_size}
+                    state=sc, meta={"batch_size": batch_size}
                 ).save(path)
                 if keep > 0:
                     prune_checkpoints(run_dir, keep)
