@@ -38,8 +38,10 @@ def workspace(tmp_path_factory):
     return root
 
 
-def test_train_snapshot_predict_metrics(workspace):
-    from climate2weather_tpu.exp import downscaling, metrics
+@pytest.fixture(scope="module")
+def trained_run(workspace):
+    """Tiny trained run dir with a network snapshot (shared by the predict /
+    exact-grad / fidelity tests)."""
     from climate2weather_tpu.training.loop import training_loop
     from climate2weather_tpu.utils.easydict import EasyDict
     from climate2weather_tpu.utils.logging import RunLogger
@@ -88,6 +90,13 @@ def test_train_snapshot_predict_metrics(workspace):
         compute_dtype=jnp.float32,
         loader_threads=1,
     )
+    return run_dir
+
+
+def test_train_snapshot_predict_metrics(workspace, trained_run):
+    from climate2weather_tpu.exp import downscaling, metrics
+
+    run_dir = trained_run
     snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
     assert snaps, os.listdir(run_dir)
 
@@ -128,9 +137,9 @@ def test_train_snapshot_predict_metrics(workspace):
             assert np.all(np.isfinite(vals)), (kind, v, vals)
 
 
-def test_exact_grad_predict(workspace):
+def test_exact_grad_predict(workspace, trained_run):
     """The autodiff guidance path must run end-to-end too."""
-    run_dir = str(workspace / "run")
+    run_dir = trained_run
     snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
     from climate2weather_tpu.exp import downscaling
 
@@ -161,3 +170,29 @@ def test_exact_grad_predict(workspace):
         yaml.safe_dump(cfg, f)
     exp_dir = downscaling.run(str(workspace / "exp_exact_out"), cfg_path)
     assert (exp_dir / "gen_sample_000.nc").exists()
+
+
+def test_fidelity_harness(workspace, trained_run):
+    """The acceptance harness must run guided + unconditional + metrics and
+    emit FIDELITY.md with finite numbers for every variable."""
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    from climate2weather_tpu.exp.fidelity import run as fidelity_run
+
+    r = fidelity_run(
+        snapshot=os.path.join(run_dir, snaps[0]),
+        data_nc=str(workspace / "merged.nc"),
+        quantiles=str(workspace / "quantiles.nc"),
+        out=str(workspace / "fid"),
+        start_time="2014-01-01-00",
+        num_hours=12, num_samples=2, num_sampling_steps=2,
+        ensemble_batch=1, batch_size=4, t_step=3, s_step=4,
+        uncond_samples=2, seed=3, skip_figures=True,
+    )
+    report = workspace / "fid" / "FIDELITY.md"
+    assert report.exists()
+    for side in ("guided", "uncond"):
+        for kind in ("wasserstein", "melr", "ssim"):
+            for v in ("psl", "tas", "uas", "vas"):
+                vals = r[side][kind][v]["global"]
+                assert np.all(np.isfinite(vals)), (side, kind, v)
