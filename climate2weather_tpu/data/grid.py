@@ -185,7 +185,13 @@ class GridDataset:
         time metadata and HDF5 dimension scales attached, so netCDF-aware
         tools can recover named dimensions.  When the netCDF4 package is
         importable (it is not in the base image), a fully conformant netCDF4
-        file is written instead."""
+        file is written instead.  Paths ending in ``.zarr`` write a zarr-v2
+        directory store (data/zarr_store.py; readable by xarray.open_zarr)."""
+        if str(path).rstrip("/").endswith(".zarr"):
+            from climate2weather_tpu.data.zarr_store import write_zarr
+
+            write_zarr(self, str(path), dtype)
+            return
         try:
             import netCDF4  # type: ignore
 
@@ -246,10 +252,15 @@ class GridDataset:
 def open_grid(path: str, data_vars: Optional[Sequence[str]] = None) -> GridDataset:
     """Open an HDF5/netCDF4 gridded file into a :class:`GridDataset`.
 
-    Handles both files written by :meth:`GridDataset.to_file` and standard
+    Handles files written by :meth:`GridDataset.to_file`, standard
     CF/netCDF4 files (the reference's merged-allvars.nc layout: per-variable
-    [time, rlat, rlon] datasets plus coordinate variables).
+    [time, rlat, rlon] datasets plus coordinate variables), and zarr-v2
+    directory stores.
     """
+    from climate2weather_tpu.data.zarr_store import is_zarr, read_zarr
+
+    if is_zarr(path):
+        return read_zarr(path, data_vars)
     import h5py
 
     with h5py.File(path, "r") as f:

@@ -150,3 +150,41 @@ def test_merged_to_normed_h5(tmp_path):
     # values match direct normalization (sorted var order)
     normed = normalize_ds(ds, qpath, "quant95")
     np.testing.assert_allclose(x[:, 0], normed.data_vars["psl"], rtol=1e-5, atol=1e-5)
+
+
+def test_zarr_roundtrip(tmp_path):
+    """GridDataset .zarr write/read round-trip (zarr-v2 directory store,
+    xarray _ARRAY_DIMENSIONS layout; BASELINE.md xarray/zarr state API)."""
+    import json
+
+    from climate2weather_tpu.data.grid import GridDataset, open_grid
+
+    rng = np.random.RandomState(0)
+    t = 50  # not a multiple of the 24-frame chunk: exercises edge padding
+    time = np.datetime64("2014-03-01T00", "ns") + np.arange(t) * np.timedelta64(1, "h")
+    ds = GridDataset(
+        {v: rng.randn(t, 8, 12).astype(np.float32) for v in ("psl", "tas")},
+        {"time": time, "rlat": np.linspace(-1, 1, 8), "rlon": np.linspace(0, 2, 12)},
+        {"source": "test"},
+    )
+    path = str(tmp_path / "store.zarr")
+    ds.to_file(path)
+
+    # spec-level checks: group marker, array metadata, xarray dims
+    assert (tmp_path / "store.zarr" / ".zgroup").exists()
+    meta = json.loads((tmp_path / "store.zarr" / "psl" / ".zarray").read_text())
+    assert meta["zarr_format"] == 2 and meta["chunks"] == [24, 8, 12]
+    attrs = json.loads((tmp_path / "store.zarr" / "psl" / ".zattrs").read_text())
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "rlat", "rlon"]
+
+    back = open_grid(path)
+    assert back.var_names() == ["psl", "tas"]
+    np.testing.assert_array_equal(back.time, ds.time)
+    np.testing.assert_allclose(back.rlat, ds.rlat)
+    for v in ("psl", "tas"):
+        np.testing.assert_array_equal(back.data_vars[v], ds.data_vars[v])
+    assert back.attrs["source"] == "test"
+
+    # var selection + uncompressed-store read
+    sel = open_grid(path, data_vars=["tas"])
+    assert sel.var_names() == ["tas"]
