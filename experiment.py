@@ -78,6 +78,27 @@ def figures(kind, exp_dir, out_dir, compare):
 
 
 @cli.command()
+@click.option("--snapshot", required=True)
+@click.option("--data-nc", required=True)
+@click.option("--quantiles", required=True)
+@click.option("--out", required=True)
+@click.option("--start-time", required=True)
+@click.option("--num-hours", default=49, type=int, show_default=True)
+@click.option("--num-samples", default=30, type=int, show_default=True)
+@click.option("--num-sampling-steps", default=256, type=int, show_default=True)
+@click.option("--ensemble-batch", default=3, type=int, show_default=True)
+@click.option("--uncond-samples", default=None, type=int)
+@click.option("--seed", default=0, type=int, show_default=True)
+@click.option("--skip-figures", is_flag=True)
+def fidelity(**kw):
+    """Statistical acceptance: guided + unconditional ensembles, W2/MELR/SSIM
+    for both, figures, and a FIDELITY.md table (exp/fidelity.py)."""
+    from climate2weather_tpu.exp.fidelity import run as fidelity_run
+
+    fidelity_run(**kw)
+
+
+@cli.command()
 @click.argument("exp_dir")
 @click.option("--var", default="tas", show_default=True)
 @click.option("--out-path", type=str, default=None)
