@@ -253,7 +253,7 @@ def main():
         )
     except Exception as e:
         print(f"# year-scale measurement failed: {type(e).__name__}: {e}")
-        year = {"pc256_hours": float("nan"), "dpm64_hours": float("nan")}
+        year = None
     # multi-device window-sharding overhead on the virtual CPU mesh
     overhead_pct = (
         None if os.environ.get("C2W_BENCH_NO_SCALING") else measure_scaling_overhead()
@@ -270,10 +270,17 @@ def main():
                 "vs_baseline": round(
                     evals_per_sec_chip / A100_BASELINE_EVALS_PER_SEC, 3
                 ),
-                "year2014_hours_per_sample_pc256": round(year["pc256_hours"], 3),
-                "year2014_hours_per_sample_dpmpp64": round(year["dpm64_hours"], 3),
-                "year_vs_baseline_speedup_pc256": round(
-                    A100_BASELINE_YEAR_HOURS / year["pc256_hours"], 2
+                # null (valid JSON), not NaN, when the year measurement failed
+                "year2014_hours_per_sample_pc256": (
+                    round(year["pc256_hours"], 3) if year else None
+                ),
+                "year2014_hours_per_sample_dpmpp64": (
+                    round(year["dpm64_hours"], 3) if year else None
+                ),
+                "year_vs_baseline_speedup_pc256": (
+                    round(A100_BASELINE_YEAR_HOURS / year["pc256_hours"], 2)
+                    if year and year["pc256_hours"] > 0
+                    else None
                 ),
                 "window_sharding_overhead_pct_8dev": overhead_pct,
             }

@@ -237,14 +237,22 @@ class PrefetchLoader:
         self._max_inflight = prefetch + num_threads
 
     def _grab_work(self):
-        """Atomically claim the next (ticket, index-block) unit."""
+        """Atomically claim the next (ticket, index-block) unit.
+
+        On iterator failure/exhaustion the exception is returned *under the
+        claimed ticket* so the consumer sees it in order; leaving the ticket
+        undelivered would deadlock ``__next__``.
+        """
         with self._index_lock:
             ticket = self._next_ticket
             self._next_ticket += 1
-            idxs = [
-                next(self._index_iter)
-                for _ in range(self.rounds * self.batch_size)
-            ]
+            try:
+                idxs = [
+                    next(self._index_iter)
+                    for _ in range(self.rounds * self.batch_size)
+                ]
+            except BaseException as e:
+                return ticket, e
         return ticket, idxs
 
     def _build(self, idxs):
@@ -286,7 +294,13 @@ class PrefetchLoader:
     def _worker(self):
         while not self._stop.is_set():
             ticket, idxs = self._grab_work()
-            batch = self._build(idxs)
+            if isinstance(idxs, BaseException):
+                batch = idxs
+            else:
+                try:
+                    batch = self._build(idxs)
+                except BaseException as e:  # deliver the error in ticket
+                    batch = e  # order — a dead ticket would deadlock
             with self._cond:
                 while (
                     not self._stop.is_set()
@@ -297,6 +311,8 @@ class PrefetchLoader:
                     return
                 self._ready[ticket] = batch
                 self._cond.notify_all()
+                if isinstance(batch, BaseException):
+                    return
 
     def start(self) -> "PrefetchLoader":
         for _ in range(self.num_threads):
@@ -317,7 +333,11 @@ class PrefetchLoader:
             batch = self._ready.pop(self._next_out)
             self._next_out += 1
             self._cond.notify_all()
-            return batch
+        if isinstance(batch, StopIteration):
+            raise StopIteration  # finite index iterator exhausted
+        if isinstance(batch, BaseException):
+            raise RuntimeError("PrefetchLoader worker failed") from batch
+        return batch
 
     def stop(self) -> None:
         self._stop.set()

@@ -61,7 +61,9 @@ def _write_array(
         "chunks": list(chunks),
         "dtype": data.dtype.str,  # e.g. "<f4"
         "compressor": {"id": "zlib", "level": _LEVEL} if compress else None,
-        "fill_value": 0,
+        # null, not 0: xarray's open_zarr masks values equal to fill_value
+        # (CF _FillValue semantics), and time[0] is always exactly 0.0
+        "fill_value": None,
         "order": "C",
         "filters": None,
     }
@@ -178,12 +180,10 @@ def read_zarr(path: str, data_vars: Optional[Sequence[str]] = None):
         if arr.ndim != 3:
             continue
         dv[k] = np.asarray(arr, np.float32)
-    coords.setdefault(
-        "rlat", np.arange(next(iter(dv.values())).shape[1], dtype=np.float64)
-    )
-    coords.setdefault(
-        "rlon", np.arange(next(iter(dv.values())).shape[2], dtype=np.float64)
-    )
+    if dv:  # setdefault would eagerly evaluate next() even when present
+        first = next(iter(dv.values()))
+        coords.setdefault("rlat", np.arange(first.shape[1], dtype=np.float64))
+        coords.setdefault("rlon", np.arange(first.shape[2], dtype=np.float64))
     attrs = {}
     zattrs = os.path.join(path, ".zattrs")
     if os.path.exists(zattrs):

@@ -165,15 +165,20 @@ def sample_host(
     for i, t in enumerate(time_steps[:-1]):
         mu, sigma = schedule(t)
         mu2, sigma2 = schedule(t - dt)
+        # in-place update rules: this module exists precisely for
+        # trajectories near host-memory limits, so peak stays at x + eps
+        # (the allocating steprules would transiently hold ~4 copies)
         eps = guided_eps(x, t)
-        x = steprules.ddim_step(x, eps, mu, sigma, mu2, sigma2, proc_x0=proc_x0)
+        x = steprules.ddim_step_inplace(
+            x, eps, mu, sigma, mu2, sigma2, proc_x0=proc_x0
+        )
         for _ in range(corrections):
             eps = guided_eps(x, t - dt)
             delta = steprules.langevin_delta(
                 tau, float(np.mean(np.square(eps), dtype=np.float64))
             )
             z = rng.standard_normal(x.shape).astype(np.float32)
-            x = steprules.langevin_step(x, eps, z, delta, sigma2)
+            x = steprules.langevin_step_inplace(x, eps, z, delta, sigma2)
         if not np.isfinite(x).all():
             raise FloatingPointError(f"NaN detected in sample at step {i}")
         if verbose and (i % 16 == 0 or i == steps - 1):

@@ -175,6 +175,37 @@ def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
     return eps_chunk - (sigma * grad).astype(eps_chunk.dtype)
 
 
+def _exact_guided_eps_nchw(
+    guidance, process, eps_apply, markov_order, chunk_size, window_sharding,
+    params_, x, t,
+):
+    """eps - sigma * grad_x log p(y|x_t) with the gradient autodiffed
+    through the (remat'd) chunked window scan — the reference's
+    exact_grad=True semantics (src/thor/score.py:28-35,48-57).  Shared by
+    both long samplers so the variance/err formula has one home."""
+    mu = process.mu(t)
+    sigma = process.sigma(t)
+    y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
+    std = _param_nchw(guidance.std)
+    gamma = _param_nchw(guidance.gamma)
+    var = std**2 + gamma * (sigma / mu) ** 2
+
+    def log_p(xx):
+        eps = nchw_window_pass(
+            eps_apply, params_, xx, t, markov_order, chunk_size,
+            window_sharding, remat=True,
+        )
+        a_x0 = (
+            _coarsen_nchw(guidance.A, xx).astype(jnp.float32)
+            - sigma * _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
+        ) / mu
+        err = y - a_x0
+        return -jnp.sum(err**2 / var) / 2.0, eps
+
+    grad, eps = jax.grad(log_p, has_aux=True)(x)
+    return eps - (sigma * grad).astype(eps.dtype)
+
+
 def _stepwise_drive(run_chunk, carry, xs, k, total_steps, verbose):
     """Drive a scan in chunks of k leading-axis elements from Python.
 
@@ -255,30 +286,10 @@ def sample_guided_long(
         )
 
     def exact_guided_eps(params_, x, t):
-        """eps - sigma * grad_x log p(y|x_t) with the gradient autodiffed
-        through the (remat'd) chunked window scan — the reference's
-        exact_grad=True semantics (src/thor/score.py:28-35,48-57)."""
-        mu = process.mu(t)
-        sigma = process.sigma(t)
-        y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
-        std = _param_nchw(guidance.std)
-        gamma = _param_nchw(guidance.gamma)
-        var = std**2 + gamma * (sigma / mu) ** 2
-
-        def log_p(xx):
-            eps = nchw_window_pass(
-                eps_apply, params_, xx, t, markov_order, chunk_size,
-                window_sharding, remat=True,
-            )
-            a_x0 = (
-                _coarsen_nchw(guidance.A, xx).astype(jnp.float32)
-                - sigma * _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
-            ) / mu
-            err = y - a_x0
-            return -jnp.sum(err**2 / var) / 2.0, eps
-
-        grad, eps = jax.grad(log_p, has_aux=True)(x)
-        return eps - (sigma * grad).astype(eps.dtype)
+        return _exact_guided_eps_nchw(
+            guidance, process, eps_apply, markov_order, chunk_size,
+            window_sharding, params_, x, t,
+        )
 
     def frame_pass(x, eps, err, t, t2, delta=None, z_key=None):
         mu = process.mu(t)
@@ -441,27 +452,10 @@ def sample_dpmpp2m_long(
         )
 
     def exact_guided_eps(params_, x, t):
-        mu = process.mu(t)
-        sigma = process.sigma(t)
-        y = jnp.moveaxis(guidance.y.astype(jnp.float32), 3, 1)
-        std = _param_nchw(guidance.std)
-        gamma = _param_nchw(guidance.gamma)
-        var = std**2 + gamma * (sigma / mu) ** 2
-
-        def log_p(xx):
-            eps = nchw_window_pass(
-                eps_apply, params_, xx, t, markov_order, chunk_size,
-                window_sharding, remat=True,
-            )
-            a_x0 = (
-                _coarsen_nchw(guidance.A, xx).astype(jnp.float32)
-                - sigma * _coarsen_nchw(guidance.A, eps).astype(jnp.float32)
-            ) / mu
-            err = y - a_x0
-            return -jnp.sum(err**2 / var) / 2.0, eps
-
-        grad, eps = jax.grad(log_p, has_aux=True)(x)
-        return eps - (sigma * grad).astype(eps.dtype)
+        return _exact_guided_eps_nchw(
+            guidance, process, eps_apply, markov_order, chunk_size,
+            window_sharding, params_, x, t,
+        )
 
     def step(params_, carry, ts):
         x, prev_x0, prev_h, is_first, nan_flag = carry

@@ -32,8 +32,10 @@ __all__ = [
     "predict_x0",
     "ddim_renoise",
     "ddim_step",
+    "ddim_step_inplace",
     "langevin_delta",
     "langevin_step",
+    "langevin_step_inplace",
     "dpm_scalar_coeffs",
     "dpm_data_estimate",
     "dpm_step",
@@ -61,6 +63,32 @@ def ddim_step(x, eps, mu, sigma, mu2, sigma2, proc_x0=None):
     return ddim_renoise(x0, eps, mu2, sigma2)
 
 
+def ddim_step_inplace(x, eps, mu, sigma, mu2, sigma2, proc_x0=None):
+    """Zero-allocation numpy twin of :func:`ddim_step` for host-resident
+    trajectories (diffusion/host_stream.py), where a multi-GB temporary per
+    step can OOM the host.  Mutates and CONSUMES both ``x`` and ``eps``
+    (``eps`` is garbage afterwards); returns ``x``.
+
+    Algebra (identical to ddim_step):
+        x  <- x - sigma*eps          # = mu * x0
+        x  <- x * mu2/mu             # = mu2 * x0   (proc_x0 applied on x0)
+        x  <- x + sigma2*eps
+    """
+    eps *= sigma
+    x -= eps  # x = mu * x0
+    if proc_x0 is not None:
+        x /= mu
+        x0 = proc_x0(x)
+        if x0 is not x:
+            x[...] = x0
+        x *= mu2
+    else:
+        x *= mu2 / mu
+    eps *= sigma2 / sigma
+    x += eps
+    return x
+
+
 # -- Langevin corrector ------------------------------------------------------
 
 def langevin_delta(tau, mean_sq_eps):
@@ -76,6 +104,19 @@ def langevin_step(x, eps, z, delta, sigma2, sqrt2delta=None):
     if sqrt2delta is None:
         sqrt2delta = (2.0 * delta) ** 0.5
     return x - (delta * eps + sqrt2delta * z) * sigma2
+
+
+def langevin_step_inplace(x, eps, z, delta, sigma2):
+    """Zero-allocation numpy twin of :func:`langevin_step`.  Mutates and
+    CONSUMES ``eps`` and ``z``; returns ``x`` updated in place.
+
+        x <- x - (delta*eps + sqrt(2 delta) z) * sigma2
+    """
+    eps *= delta * sigma2
+    z *= ((2.0 * delta) ** 0.5) * sigma2
+    x -= eps
+    x -= z
+    return x
 
 
 # -- DPM-Solver++(2M) --------------------------------------------------------

@@ -43,7 +43,9 @@ def _kde(vals: np.ndarray, grid: np.ndarray, max_points: int = 20000) -> np.ndar
 
     vals = np.asarray(vals, np.float64).ravel()
     if vals.size > max_points:
-        vals = vals[:: max(1, vals.size // max_points)][:max_points]
+        # ceil the stride so the subsample spans the full record instead of
+        # a time-prefix (floor stride + [:max_points] truncates the tail)
+        vals = vals[:: -(-vals.size // max_points)]
     if np.std(vals) < 1e-12:
         out = np.zeros_like(grid)
         out[np.argmin(np.abs(grid - vals.mean()))] = 1.0

@@ -144,8 +144,13 @@ class AsyncWriter:
             raise RuntimeError("async checkpoint write failed") from err
 
     def submit(self, fn: Callable[[], None]):
+        # Queue(maxsize=1) alone does not bound in-flight jobs to one: the
+        # worker dequeues immediately, so the queue is empty while a write
+        # runs and a second submit would succeed (3 host state copies live).
+        # join() waits until the previous write actually finished.
+        self._q.join()
         self._check()
-        self._q.put(fn)  # blocks while a previous write is still running
+        self._q.put(fn)
 
     def flush(self):
         self._q.join()

@@ -292,7 +292,6 @@ def training_loop(
     writer = AsyncWriter()
     cur_ndata = start_ndata
     prev_status_ndata = cur_ndata
-    cumulative_training_time = 0.0
     total_elapsed_time = 0.0
     losses_accum = []  # device scalars; synced only at log time
     valid_markov_order = dataset_kwargs.train.window // 2
@@ -337,7 +336,6 @@ def training_loop(
                 ),
                 flush=True,
             )
-            cumulative_training_time = 0.0
             prev_status_ndata = cur_ndata
             prev_status_time = cur_time
 
@@ -472,7 +470,6 @@ def training_loop(
             print(f"Profiler trace written to {profile_dir}")
 
         # ---- optimization step -------------------------------------------
-        batch_start_time = time.time()
         # fold in the step index: the per-step (t, eps) draws replay exactly
         # across checkpoint resume, matching the sampler's ndata-resume
         step_rng = jax.random.fold_in(shared_rng, cur_ndata // batch_size)
@@ -507,7 +504,6 @@ def training_loop(
             state, loss = train_step(state, batch, step_rng)
         losses_accum.append(loss)  # async; no host sync in the hot loop
         cur_ndata += batch_size
-        cumulative_training_time += time.time() - batch_start_time
 
     writer.close()
     if loader is not None:
