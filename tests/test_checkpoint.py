@@ -72,3 +72,44 @@ def test_snapshot_roundtrip(tiny_net, tmp_path):
     assert config2 == config
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_async_writer_one_in_flight_and_error_surfacing():
+    """submit() must wait for the previous write to FINISH (one host state
+    copy alive), and a failed write must raise on the next submit/flush."""
+    import threading
+    import time
+
+    from climate2weather_tpu.training.checkpoint import AsyncWriter
+
+    w = AsyncWriter()
+    running = []
+    lock = threading.Lock()
+    peak = [0]
+
+    def job():
+        with lock:
+            running.append(1)
+            peak[0] = max(peak[0], len(running))
+        time.sleep(0.15)
+        with lock:
+            running.pop()
+
+    t0 = time.time()
+    for _ in range(3):
+        w.submit(job)
+    # 3rd submit can only start after the 1st and 2nd finished
+    assert time.time() - t0 >= 0.25
+    w.flush()
+    assert peak[0] == 1, "two checkpoint writes overlapped"
+
+    def boom():
+        raise OSError("disk full")
+
+    w.submit(boom)
+    try:
+        w.flush()  # join + error check: the failure surfaces here
+        raise AssertionError("expected RuntimeError from failed write")
+    except RuntimeError:
+        pass
+    w.close()
