@@ -78,8 +78,15 @@ def measure_year_sampler(process, eps_fn, params, A, num_features, res, markov_o
         markov_order=markov_order, chunk_size=128, guidance=guidance,
         steps_per_call=1,
     )
-    # PC: compile+1 step, then 1+4 steps; difference = 4 warm steps
+    # Warm the jit cache with a discarded 1-step call (it pays the compile),
+    # then time warm 1-step and 5-step calls: difference = 4 warm steps.
+    # (Differencing a cold t1 against a warm t5 subtracts the compile from
+    # the step estimate — that once produced a NEGATIVE hours/sample.)
     cache: dict = {}
+    timed(  # compile; discard
+        sample_guided_long, process, eps_fn, params, noise(),
+        steps=1, corrections=0, jit_cache=cache, **common,
+    )
     t1 = timed(
         sample_guided_long, process, eps_fn, params, noise(),
         steps=1, corrections=0, jit_cache=cache, **common,
@@ -92,6 +99,10 @@ def measure_year_sampler(process, eps_fn, params, A, num_features, res, markov_o
     results["pc256_hours"] = pc_step * 256 / 3600.0
     # DPM++(2M): bf16 trajectory (production year config), 64 steps
     cache = {}
+    timed(  # compile; discard
+        sample_dpmpp2m_long, process, eps_fn, params, noise(),
+        steps=1, traj_dtype=jnp.bfloat16, jit_cache=cache, **common,
+    )
     t1 = timed(
         sample_dpmpp2m_long, process, eps_fn, params, noise(),
         steps=1, traj_dtype=jnp.bfloat16, jit_cache=cache, **common,
@@ -131,17 +142,25 @@ g = GaussianGuidance(A=A, y=y, std=0.1, gamma=7e-4)
 eps_fn = make_batched_eps_fn(net.apply)
 noise = jax.random.normal(rng, (L, C, res, res))
 
-def run(ws, steps):
+def run(ws, steps, cache):
+    # the shared jit_cache is essential: without it every call retraces and
+    # recompiles, and the "per-step" numbers measure compile time
     out, _ = sample_guided_long(proc, eps_fn, params, noise,
         markov_order=window // 2, chunk_size=chunk, guidance=g, steps=steps,
-        window_sharding=ws)
+        window_sharding=ws, jit_cache=cache)
     return float(jnp.asarray(out).ravel()[0])
 
 def t_per_step(ws):
-    run(ws, 2)  # compile
-    t0 = time.time(); run(ws, 2); t2 = time.time() - t0
-    t0 = time.time(); run(ws, 6); t6 = time.time() - t0
-    return (t6 - t2) / 4.0
+    cache = {}
+    run(ws, 2, cache)  # compile
+    # best-of-2 on a 2-vs-10-step difference: the tiny workload's per-step
+    # time is ~ms, so single-shot differencing is dominated by host noise
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time(); run(ws, 2, cache); t2 = time.time() - t0
+        t0 = time.time(); run(ws, 10, cache); t10 = time.time() - t0
+        best = min(best, (t10 - t2) / 8.0)
+    return best
 
 t_single = t_per_step(None)
 mesh = make_mesh(data=1, window=8)
@@ -154,7 +173,12 @@ def measure_scaling_overhead():
     """Window-sharded sampler on an 8-virtual-device CPU mesh vs unsharded
     single-device, same total work: percent wall-clock overhead per step
     (ICI-analog partition/collective cost; virtual devices share host
-    cores, so compute is identical and the delta is orchestration)."""
+    cores, so compute is identical and the delta is orchestration).
+
+    Reading: values <= 0 mean no sharding overhead is detectable.  Negative
+    values are a cache-locality artifact of emulation — eight per-shard
+    executions with smaller working sets can beat one large execution on a
+    single host core — not a real speedup."""
     try:
         out = subprocess.run(
             [sys.executable, "-c", _SCALING_CHILD],
