@@ -67,8 +67,15 @@ def kde_and_pmf(samples: List[GridDataset], gt: GridDataset, out_dir: str) -> st
         s_vals = np.concatenate([s.data_vars[v].ravel() for s in samples])
         lo = float(min(gt_vals.min(), s_vals.min()))
         hi = float(max(gt_vals.max(), s_vals.max()))
-        pad = 0.05 * (hi - lo) or 1.0
-        grid = np.linspace(lo - pad, hi + pad, 256)
+        # KDE row shows the distribution BULK: rare generation outliers can
+        # stretch the raw range 10x and squash the curves to a spike, so the
+        # grid spans the 0.1-99.9 percentile band; the log-PMF row below
+        # keeps the full range and exposes the tails.
+        klo = float(min(np.quantile(gt_vals, 1e-3), np.quantile(s_vals, 1e-3)))
+        khi = float(max(np.quantile(gt_vals, 1 - 1e-3),
+                        np.quantile(s_vals, 1 - 1e-3)))
+        pad = 0.05 * (khi - klo) or 1.0
+        grid = np.linspace(klo - pad, khi + pad, 256)
         ax = axes[0, col]
         ax.plot(grid, _kde(gt_vals, grid), "k-", lw=2, label="ground truth")
         ax.plot(grid, _kde(s_vals, grid), "C0-", lw=2, label="samples")
