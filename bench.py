@@ -78,15 +78,17 @@ def measure_year_sampler(process, eps_fn, params, A, num_features, res, markov_o
         markov_order=markov_order, chunk_size=128, guidance=guidance,
         steps_per_call=1,
     )
-    # Warm the jit cache with a discarded 1-step call (it pays the compile),
+    # Warm the jit cache for BOTH step counts with discarded calls (the PC
+    # program's cache key includes `steps` — dt is baked into the closure),
     # then time warm 1-step and 5-step calls: difference = 4 warm steps.
-    # (Differencing a cold t1 against a warm t5 subtracts the compile from
-    # the step estimate — that once produced a NEGATIVE hours/sample.)
+    # (Differencing a cold call against a warm one subtracts the compile
+    # from the step estimate — that once produced a NEGATIVE hours/sample.)
     cache: dict = {}
-    timed(  # compile; discard
-        sample_guided_long, process, eps_fn, params, noise(),
-        steps=1, corrections=0, jit_cache=cache, **common,
-    )
+    for warm_steps in (1, 5):
+        timed(  # compile; discard
+            sample_guided_long, process, eps_fn, params, noise(),
+            steps=warm_steps, corrections=0, jit_cache=cache, **common,
+        )
     t1 = timed(
         sample_guided_long, process, eps_fn, params, noise(),
         steps=1, corrections=0, jit_cache=cache, **common,
@@ -97,7 +99,8 @@ def measure_year_sampler(process, eps_fn, params, A, num_features, res, markov_o
     )
     pc_step = (t5 - t1) / 4.0
     results["pc256_hours"] = pc_step * 256 / 3600.0
-    # DPM++(2M): bf16 trajectory (production year config), 64 steps
+    # DPM++(2M): bf16 trajectory (production year config), 64 steps.
+    # (time pairs are data in the DPM program, so one compile serves both.)
     cache = {}
     timed(  # compile; discard
         sample_dpmpp2m_long, process, eps_fn, params, noise(),
@@ -277,6 +280,10 @@ def main():
         )
     except Exception as e:
         print(f"# year-scale measurement failed: {type(e).__name__}: {e}")
+        year = None
+    if year is not None and any(v <= 0 for v in year.values()):
+        # warm-step differencing gone negative = timing noise, not a result
+        print(f"# year-scale timing not credible, dropping: {year}")
         year = None
     # multi-device window-sharding overhead on the virtual CPU mesh
     overhead_pct = (

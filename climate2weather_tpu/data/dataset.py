@@ -311,8 +311,11 @@ class PrefetchLoader:
                     return
                 self._ready[ticket] = batch
                 self._cond.notify_all()
-                if isinstance(batch, BaseException):
-                    return
+                if isinstance(batch, StopIteration):
+                    return  # iterator exhausted: nothing left to produce
+                # other errors are delivered but the worker keeps serving:
+                # a consumer that treats the error as transient and calls
+                # next() again must not hang on a dead thread pool
 
     def start(self) -> "PrefetchLoader":
         for _ in range(self.num_threads):

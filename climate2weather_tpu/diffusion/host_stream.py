@@ -157,9 +157,15 @@ def sample_host(
         if guidance_A is None:
             return eps
         mu, sigma = schedule(t)
-        x0 = steprules.predict_x0(x, eps, mu, sigma)
-        err = (guidance_y - guidance_A(x0)) / (std**2 + gamma * (sigma / mu) ** 2)
-        eps -= (sigma / mu) * guidance_A.adjoint(err.astype(np.float32), L)
+        # A is linear, so A(x0) = (A(x) - sigma A(eps)) / mu — never
+        # materialize the full-trajectory x0 (same identity as the device
+        # path's _obs_err_nchw); the only trajectory-sized temporary is the
+        # adjoint output, consumed in place.
+        a_x0 = (guidance_A(x) - sigma * guidance_A(eps)) / mu
+        err = (guidance_y - a_x0) / (std**2 + gamma * (sigma / mu) ** 2)
+        adj = guidance_A.adjoint(err.astype(np.float32), L)
+        adj *= sigma / mu
+        eps -= adj
         return eps
 
     for i, t in enumerate(time_steps[:-1]):
@@ -167,7 +173,8 @@ def sample_host(
         mu2, sigma2 = schedule(t - dt)
         # in-place update rules: this module exists precisely for
         # trajectories near host-memory limits, so peak stays at x + eps
-        # (the allocating steprules would transiently hold ~4 copies)
+        # unguided (+ one adjoint-sized buffer inside guided_eps); the
+        # allocating steprules would transiently hold ~4 copies
         eps = guided_eps(x, t)
         x = steprules.ddim_step_inplace(
             x, eps, mu, sigma, mu2, sigma2, proc_x0=proc_x0

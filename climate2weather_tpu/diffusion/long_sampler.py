@@ -384,9 +384,13 @@ def sample_guided_long(
         return x, nan_flag
 
     # params is a jit ARGUMENT (closure capture would embed it as HLO
-    # constants — oversized programs get rejected by remote compilers)
-    if jit_cache is not None and "pc" in jit_cache:
-        run_chunk_p = jit_cache["pc"]
+    # constants — oversized programs get rejected by remote compilers).
+    # The cache key carries every schedule knob the closure bakes in (dt is
+    # a function of `steps`!) — a bare "pc" key would silently reuse the
+    # first call's dt/corrections/tau for later calls with different values.
+    cache_key = ("pc", steps, corrections, float(tau))
+    if jit_cache is not None and cache_key in jit_cache:
+        run_chunk_p = jit_cache[cache_key]
     else:
         run_chunk_p = jax.jit(
             lambda params_, carry, ts: jax.lax.scan(
@@ -395,7 +399,7 @@ def sample_guided_long(
             donate_argnums=(1,),
         )
         if jit_cache is not None:
-            jit_cache["pc"] = run_chunk_p
+            jit_cache[cache_key] = run_chunk_p
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(
         run_chunk, init, time_steps, steps_per_call, steps, verbose

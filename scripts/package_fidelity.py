@@ -70,8 +70,13 @@ def main():
     dest = pathlib.Path(args.dest)
     dest.mkdir(parents=True, exist_ok=True)
 
-    shutil.copy(final / "FIDELITY.md", dest / "FIDELITY.md")
     figdir = _guided_dir(final) / "figures"
+    # the report's Figures: pointer must reference the copied PNGs next to
+    # the document, not the (gitignored) run directory
+    text = (final / "FIDELITY.md").read_text().replace(
+        f"`{figdir}/`", "the PNGs in this directory"
+    ).replace(str(figdir), ".")
+    (dest / "FIDELITY.md").write_text(text)
     for png in sorted(figdir.glob("*.png")):
         shutil.copy(png, dest / png.name)
         print(f"copied {png.name}")
