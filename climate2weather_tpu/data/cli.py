@@ -11,6 +11,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import pathlib
 
 import click
@@ -32,12 +33,23 @@ def cli():
 @click.option("--lon0", default=proc.DEFAULT_PATCH["lon_range"][0], show_default=True)
 @click.option("--lon1", default=proc.DEFAULT_PATCH["lon_range"][1], show_default=True)
 @click.option("--no-interp", is_flag=True, help="Fail on NaN instead of interpolating")
-def extract_patch(in_path, out_path, lat0, lat1, lon0, lon1, no_interp):
+@click.option(
+    "--no-audit",
+    is_flag=True,
+    help="Skip the *_with_missing / *_nan_stats audit artifacts on NaN",
+)
+def extract_patch(in_path, out_path, lat0, lat1, lon0, lon1, no_interp, no_audit):
     """Slice the study patch by index ranges, interpolating NaN time steps
-    (reference data/processing.py extract_patch)."""
+    (reference data/processing.py extract_patch); NaN occurrences write
+    audit artifacts next to the output and interpolation is re-verified."""
     ds = open_grid(in_path)
+    stem = os.path.splitext(out_path)[0]
     patch = proc.extract_patch(
-        ds, (lat0, lat1), (lon0, lon1), interpolate_nans=not no_interp
+        ds,
+        (lat0, lat1),
+        (lon0, lon1),
+        interpolate_nans=not no_interp,
+        audit_path=None if no_audit else stem,
     )
     patch.to_file(out_path)
     print(f"Wrote {out_path}: {patch.sizes}")

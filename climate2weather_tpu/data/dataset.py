@@ -235,6 +235,7 @@ class PrefetchLoader:
         self._next_ticket = 0  # next unit handed to a worker
         self._next_out = 0  # next ticket the consumer takes
         self._max_inflight = prefetch + num_threads
+        self._fatal = False  # a worker error permanently breaks the stream
 
     def _grab_work(self):
         """Atomically claim the next (ticket, index-block) unit.
@@ -313,9 +314,16 @@ class PrefetchLoader:
                 self._cond.notify_all()
                 if isinstance(batch, StopIteration):
                     return  # iterator exhausted: nothing left to produce
-                # other errors are delivered but the worker keeps serving:
-                # a consumer that treats the error as transient and calls
-                # next() again must not hang on a dead thread pool
+                if isinstance(batch, BaseException):
+                    # Worker errors are FATAL to the stream: the failed
+                    # ticket's sampler indices are already consumed, so
+                    # "retrying" next() would silently skip one batch while
+                    # ndata accounting advances — breaking the bit-identical
+                    # ndata-resume contract.  Mark the stream broken; the
+                    # consumer must restart from the last checkpoint (which
+                    # re-derives the index stream from cur_ndata).
+                    self._fatal = True
+                    return
 
     def start(self) -> "PrefetchLoader":
         for _ in range(self.num_threads):
@@ -332,14 +340,29 @@ class PrefetchLoader:
             self.start()
         with self._cond:
             while self._next_out not in self._ready:
-                self._cond.wait()
+                if self._fatal:
+                    raise RuntimeError(
+                        "PrefetchLoader stream is broken — a worker failed; "
+                        "restart from the last checkpoint"
+                    )
+                if self._stop.is_set():
+                    raise RuntimeError(
+                        "PrefetchLoader was stopped while a consumer was "
+                        "waiting for a batch"
+                    )
+                # timed wait: stop()/worker-death from another thread must
+                # not leave a consumer parked forever on a bare wait()
+                self._cond.wait(timeout=0.5)
             batch = self._ready.pop(self._next_out)
             self._next_out += 1
             self._cond.notify_all()
         if isinstance(batch, StopIteration):
             raise StopIteration  # finite index iterator exhausted
         if isinstance(batch, BaseException):
-            raise RuntimeError("PrefetchLoader worker failed") from batch
+            raise RuntimeError(
+                "PrefetchLoader worker failed; the stream is not resumable "
+                "past this point — resume training from the last checkpoint"
+            ) from batch
         return batch
 
     def stop(self) -> None:

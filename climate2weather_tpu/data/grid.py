@@ -256,6 +256,11 @@ def open_grid(path: str, data_vars: Optional[Sequence[str]] = None) -> GridDatas
     CF/netCDF4 files (the reference's merged-allvars.nc layout: per-variable
     [time, rlat, rlon] datasets plus coordinate variables), and zarr-v2
     directory stores.
+
+    Zarr limitation: the dependency-free reader supports zlib-compressed or
+    uncompressed chunks only (no blosc, the external-writer default), C
+    order, no filter pipelines.  A missing ``time`` coordinate falls back to
+    an index axis, like rlat/rlon.
     """
     from climate2weather_tpu.data.zarr_store import is_zarr, read_zarr
 

@@ -44,11 +44,19 @@ def extract_patch(
     lat_range: Tuple[int, int] = DEFAULT_PATCH["lat_range"],
     lon_range: Tuple[int, int] = DEFAULT_PATCH["lon_range"],
     interpolate_nans: bool = True,
+    audit_path: Optional[str] = None,
 ) -> GridDataset:
     """Slice the study patch by index ranges; pchip-interpolate NaN times.
 
     Reference: full_cosmo_to_interpolated_patch (data/processing.py:60-156)
     with the index ranges stored in COSMO_patch_index-ranges.npz.
+
+    When NaNs are found and ``audit_path`` is set (a path stem, e.g. the
+    output file without extension), the audit artifacts the reference writes
+    (data/processing.py:124-150) are produced: ``<stem>_with_missing.h5``
+    (the pre-interpolation patch), ``<stem>_nan_stats.npz`` (per-variable
+    NaN time counts/indices).  Interpolation is always re-verified; NaNs
+    surviving it are a hard failure, matching the reference's give-up path.
     """
     la0, la1 = lat_range
     lo0, lo1 = lon_range
@@ -63,7 +71,25 @@ def extract_patch(
     if report is not None:
         if not interpolate_nans:
             raise RuntimeError(f"NaNs in patch: {report}")
+        if audit_path:
+            patch.to_file(f"{audit_path}_with_missing.h5")
+            stats = {}
+            for k, r in report.items():
+                stats[f"{k}_nr_of_times"] = np.asarray(r["nr_of_times"])
+                stats[f"{k}_which_times"] = np.asarray(r["which_times"])
+            np.savez(f"{audit_path}_nan_stats.npz", **stats)
+            print(
+                f"NaN audit written: {audit_path}_with_missing.h5, "
+                f"{audit_path}_nan_stats.npz"
+            )
         patch = _interpolate_nan_times(patch, report)
+        remaining = patch.nan_report()
+        if remaining is not None:
+            # the reference "gives up" here (data/processing.py:149-150);
+            # surface it as a hard error rather than a print
+            raise RuntimeError(
+                f"NaNs survived pchip interpolation — giving up: {remaining}"
+            )
     return patch
 
 

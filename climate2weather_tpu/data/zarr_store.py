@@ -96,7 +96,12 @@ def _read_array(root: str, name: str) -> Tuple[np.ndarray, dict]:
     assert not meta.get("filters"), "filter pipelines not supported"
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") != "zlib":
-        raise ValueError(f"unsupported zarr compressor {comp.get('id')!r}")
+        raise ValueError(
+            f"zarr store {root!r}, array {name!r}: unsupported compressor "
+            f"{comp.get('id')!r} — this dependency-free reader handles only "
+            f"zlib or uncompressed chunks (stores written by external zarr "
+            f"tools default to blosc; rewrite with compressor=zlib or none)"
+        )
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
@@ -165,9 +170,21 @@ def read_zarr(path: str, data_vars: Optional[Sequence[str]] = None):
         and os.path.exists(os.path.join(path, n, ".zarray"))
     ]
     coord_names = {"time", "rlat", "rlon", "lat", "lon", "latitude", "longitude"}
-    tvals, tattrs = _read_array(path, "time")
-    units = tattrs.get("units", "")
-    time = _decode_cf_time(tvals, units) if units else np.asarray(tvals, _NS)
+    if "time" in names:
+        tvals, tattrs = _read_array(path, "time")
+        units = tattrs.get("units", "")
+        time = _decode_cf_time(tvals, units) if units else np.asarray(tvals, _NS)
+    else:
+        # stores without a time coordinate get an index axis, mirroring the
+        # rlat/rlon fallback below
+        tlen = 0
+        for n in names:
+            if n not in coord_names:
+                arr_meta = os.path.join(path, n, ".zarray")
+                with open(arr_meta) as f:
+                    tlen = json.load(f)["shape"][0]
+                break
+        time = np.arange(tlen, dtype=np.int64).astype(_NS)
     coords: Dict[str, np.ndarray] = {"time": time}
     for c in ("rlat", "rlon"):
         if c in names:

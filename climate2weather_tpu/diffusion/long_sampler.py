@@ -49,6 +49,55 @@ def _check_obs_nchw(guidance, nchw_shape):
         check_observation_shape(guidance, (L, H, W, C))
 
 
+def _guidance_cache_parts(guidance):
+    """(hashable statics, identity-checked objects) for the jit cache.
+
+    Guidance arrays (y / std / gamma) are baked into the traced closure as
+    constants-by-capture; a cached program compiled against one observation
+    must never be reused for another.  Scalars go into the hashable key;
+    arrays are compared by identity at lookup time.
+    """
+    if guidance is None:
+        return ("noguide",), ()
+    statics = [
+        guidance.A.s_step,
+        guidance.A.t_step,
+        bool(guidance.exact_grad),
+        tuple(guidance.y.shape),
+    ]
+    objs = [guidance.y]
+    for v in (guidance.std, guidance.gamma):
+        if isinstance(v, (int, float)):
+            statics.append(float(v))
+        else:
+            statics.append(tuple(jnp.shape(v)))
+            objs.append(v)
+    return tuple(statics), tuple(objs)
+
+
+def _jit_cache_lookup(jit_cache, statics, objs, build):
+    """Compiled-program cache keyed on the FULL static configuration.
+
+    ``statics`` must cover every hashable value the traced closure bakes in
+    (schedule knobs, shapes, chunking); ``objs`` every closure-captured
+    object (guidance arrays, proc_x0, shardings, the network apply fn)
+    checked by identity — any mismatch rebuilds instead of silently reusing
+    a program compiled against stale constants.
+    """
+    if jit_cache is None:
+        return build()
+    entry = jit_cache.get(statics)
+    if (
+        entry is not None
+        and len(entry["objs"]) == len(objs)
+        and all(a is b for a, b in zip(entry["objs"], objs))
+    ):
+        return entry["fn"]
+    fn = build()
+    jit_cache[statics] = {"fn": fn, "objs": objs}
+    return fn
+
+
 def nchw_window_pass(
     apply_fn: Callable,
     params,
@@ -265,10 +314,11 @@ def sample_guided_long(
     NOTE: in stepwise mode the caller's ``noise`` buffer is donated on the
     first chunk (memory) — do not reuse it afterwards.
 
-    ``jit_cache``: pass the same dict across repeated calls with identical
-    static configuration (same process/guidance arrays/shapes) to reuse the
+    ``jit_cache``: pass the same dict across repeated calls to reuse the
     compiled chunk program instead of retracing per call (e.g. per-sample
-    loops in the downscaling driver).
+    loops in the downscaling driver).  The cache is keyed on the full
+    static configuration (schedule knobs, shapes, chunking, guidance
+    arrays by identity), so calls with different configs coexist safely.
     """
     exact = guidance is not None and guidance.exact_grad
     _check_obs_nchw(guidance, noise.shape)
@@ -385,21 +435,26 @@ def sample_guided_long(
 
     # params is a jit ARGUMENT (closure capture would embed it as HLO
     # constants — oversized programs get rejected by remote compilers).
-    # The cache key carries every schedule knob the closure bakes in (dt is
-    # a function of `steps`!) — a bare "pc" key would silently reuse the
-    # first call's dt/corrections/tau for later calls with different values.
-    cache_key = ("pc", steps, corrections, float(tau))
-    if jit_cache is not None and cache_key in jit_cache:
-        run_chunk_p = jit_cache[cache_key]
-    else:
-        run_chunk_p = jax.jit(
+    # The cache key carries every static the closure bakes in: schedule
+    # knobs (dt is a function of `steps`!), trajectory/chunk geometry, and
+    # the guidance config; closure-captured objects (y/std/gamma arrays,
+    # proc_x0, sharding, the apply fn) are identity-checked at lookup.
+    g_statics, g_objs = _guidance_cache_parts(guidance)
+    statics = (
+        "pc", steps, corrections, float(tau),
+        tuple(noise.shape), str(noise.dtype),
+        F, chunk_size, markov_order,
+    ) + g_statics
+    objs = g_objs + (eps_apply, process, proc_x0, window_sharding)
+    run_chunk_p = _jit_cache_lookup(
+        jit_cache, statics, objs,
+        lambda: jax.jit(
             lambda params_, carry, ts: jax.lax.scan(
                 lambda c, t: step(params_, c, t), carry, ts
             )[0],
             donate_argnums=(1,),
-        )
-        if jit_cache is not None:
-            jit_cache[cache_key] = run_chunk_p
+        ),
+    )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(
         run_chunk, init, time_steps, steps_per_call, steps, verbose
@@ -527,17 +582,22 @@ def sample_dpmpp2m_long(
         )
         return x, nan_flag
 
-    # params as jit argument (see sample_guided_long); cache reusable
-    if jit_cache is not None and "dpm" in jit_cache:
-        run_chunk_p = jit_cache["dpm"]
-    else:
-        run_chunk_p = jax.jit(
+    # params as jit argument (see sample_guided_long); cache keyed on the
+    # full static config + identity of closure-captured objects.
+    g_statics, g_objs = _guidance_cache_parts(guidance)
+    statics = (
+        "dpm", tuple(noise.shape), str(noise.dtype),
+        F, chunk_size, markov_order,
+    ) + g_statics
+    objs = g_objs + (eps_apply, process, proc_x0, window_sharding)
+    run_chunk_p = _jit_cache_lookup(
+        jit_cache, statics, objs,
+        lambda: jax.jit(
             lambda params_, carry, ts: jax.lax.scan(
                 lambda c, t: step(params_, c, t), carry, (ts[:, 0], ts[:, 1])
             )[0],
             donate_argnums=(1,),
-        )
-        if jit_cache is not None:
-            jit_cache["dpm"] = run_chunk_p
+        ),
+    )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
     return _stepwise_drive(run_chunk, init, ts_pairs, steps_per_call, steps, verbose)

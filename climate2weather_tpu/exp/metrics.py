@@ -27,12 +27,23 @@ observation time grid (exp/metrics.py:233-240).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pathlib
 import pickle
 from typing import Dict, Optional
 
 import numpy as np
+
+
+def _ensemble_fingerprint(samples: np.ndarray) -> str:
+    """Shape + content digest of a stacked sample ensemble [S, T, H, W]."""
+    h = hashlib.blake2b(digest_size=16)
+    arr = np.ascontiguousarray(samples, np.float32)
+    h.update(str(arr.shape).encode())
+    for s in arr:  # stream per sample: no whole-ensemble byte copy
+        h.update(s.tobytes())
+    return h.hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +152,9 @@ def rapsd_over_time(
         gt_rapsd_over_time=np.stack(gt_psd),  # [T, K]
         wavelengths=1.0 / np.maximum(freq, 1e-12),
     )
-    if obs_fields is not None:
+    if obs_fields is not None and min(T, obs_fields.shape[0]) > 0:
         obs_psd = []
+        ofreq = None
         for t in range(min(T, obs_fields.shape[0])):
             opsd, ofreq = rapsd(obs_fields[t], d=d * obs_d_factor)
             obs_psd.append(opsd)
@@ -268,12 +280,19 @@ def run(exp_dir: str) -> dict:
             )
         }
 
+        # Cache keyed on the ensemble contents, not just the variable name:
+        # re-running after adding samples or regenerating the ensemble must
+        # not silently serve stale spectra.
+        fp = _ensemble_fingerprint(samples)
         cache = rapsd_dir / f"{v}_rapsd.npz"
+        r = None
         if cache.exists():
-            r = dict(np.load(cache))
-        else:
+            loaded = dict(np.load(cache))
+            if str(loaded.pop("ensemble_fingerprint", None)) == fp:
+                r = loaded
+        if r is None:
             r = rapsd_over_time(samples, gt_da, obs_ds.data_vars[v])
-            np.savez(cache, **r)
+            np.savez(cache, ensemble_fingerprint=fp, **r)
         metrics["melr"][v] = {
             "global": melr(r["sample_rapsd_over_time"], r["gt_rapsd_over_time"])
         }

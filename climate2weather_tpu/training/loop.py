@@ -115,6 +115,9 @@ def training_loop(
     assert checkpoint_ndata is None or (
         checkpoint_ndata % batch_size == 0 and checkpoint_ndata % 1024 == 0
     )
+    # without this, a valid_ndata not divisible by batch_size silently
+    # disables in-loop validation forever (cur_ndata % valid_ndata never 0)
+    assert valid_ndata is None or valid_ndata % batch_size == 0
 
     # -- dataset -----------------------------------------------------------
     print("Setting up datasets...")

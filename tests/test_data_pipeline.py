@@ -118,6 +118,36 @@ def test_extract_patch_and_nan_interp():
     )
 
 
+def test_extract_patch_nan_audit_artifacts(tmp_path):
+    """NaN audit artifacts match the reference (data/processing.py:124-150):
+    *_with_missing (pre-interp data), *_nan_stats.npz, and a hard failure if
+    NaNs survive interpolation."""
+    from climate2weather_tpu.data.grid import open_grid
+
+    ds = make_grid(t=24, y=16, x=16)
+    ds.data_vars["tas"][5] = np.nan
+    ds.data_vars["uas"][7] = np.nan
+    stem = str(tmp_path / "patch")
+    patch = extract_patch(
+        ds, lat_range=(2, 10), lon_range=(4, 12), audit_path=stem
+    )
+    assert patch.nan_report() is None
+
+    with_missing = open_grid(stem + "_with_missing.h5")
+    assert np.isnan(with_missing.data_vars["tas"][5]).all()
+    assert not np.isnan(with_missing.data_vars["tas"][4]).any()
+    stats = np.load(stem + "_nan_stats.npz")
+    assert int(stats["tas_nr_of_times"]) == 1
+    np.testing.assert_array_equal(stats["tas_which_times"], [5])
+    np.testing.assert_array_equal(stats["uas_which_times"], [7])
+
+    # NaNs surviving interpolation (all times NaN) are a hard failure
+    ds2 = make_grid(t=8, y=16, x=16)
+    ds2.data_vars["tas"][:] = np.nan
+    with pytest.raises((RuntimeError, ValueError)):
+        extract_patch(ds2, lat_range=(2, 10), lon_range=(4, 12))
+
+
 def test_cdo_equivalents():
     d1 = make_grid(t=24, seed=1)
     d2 = make_grid(t=24, seed=2)
