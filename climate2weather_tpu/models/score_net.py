@@ -60,6 +60,10 @@ class ScoreUNet(nn.Module):
     spatial: int = 2
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = False
+    # 0 = this framework's native biased channel-norm variance; 1 = the
+    # reference's zuko LayerNorm (unbiased), required when evaluating weights
+    # imported from released torch snapshots
+    norm_ddof: int = 0
 
     @nn.compact
     def __call__(
@@ -93,6 +97,7 @@ class ScoreUNet(nn.Module):
             spatial=self.spatial,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
+            norm_ddof=self.norm_ddof,
             name="unet",
         )(x, emb)
         return out
@@ -130,4 +135,5 @@ def build_score_unet(
         spatial=int(cfg.get("spatial", 2)),
         dtype=dtype,
         use_pallas_attention=use_pallas_attention,
+        norm_ddof=int(cfg.get("norm_ddof", 0)),
     )

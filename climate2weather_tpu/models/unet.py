@@ -37,15 +37,21 @@ from flax import linen as nn
 Dtype = Any
 
 
-def channel_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def channel_norm(x: jnp.ndarray, eps: float = 1e-5, ddof: int = 0) -> jnp.ndarray:
     """Standardize over the channel (last) axis without learnable parameters.
 
     Statistics are computed in fp32 and the result is cast back to ``x.dtype``
     (reference: zuko LayerNorm used at model/nn.py:154,183).
+
+    ``ddof=0`` (biased variance) is this framework's native mode, used by all
+    checkpoints trained here.  ``ddof=1`` reproduces zuko's ``torch.var_mean``
+    default (unbiased) for bit-faithful evaluation of weights imported from
+    the reference's released torch snapshots
+    (scripts/import_reference_snapshot.py).
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True, ddof=ddof)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -59,6 +65,7 @@ class ModResidualBlock(nn.Module):
     kernel_size: int = 3
     spatial: int = 2
     dtype: Dtype = jnp.bfloat16
+    norm_ddof: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -68,7 +75,7 @@ class ModResidualBlock(nn.Module):
         # project: Linear(mod_features -> C), broadcast over spatial dims
         proj = nn.Dense(self.channels, dtype=self.dtype, name="project")(emb)
         h = x + proj.reshape(proj.shape[0], *(1,) * self.spatial, self.channels)
-        h = channel_norm(h)
+        h = channel_norm(h, ddof=self.norm_ddof)
         h = nn.Conv(self.channels, kern, padding=pad, dtype=self.dtype, name="conv0")(h)
         h = nn.silu(h)
         h = nn.Conv(self.channels, kern, padding=pad, dtype=self.dtype, name="conv1")(h)
@@ -89,13 +96,14 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    norm_ddof: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, *spatial_shape, c = x.shape
         t = int(np.prod(spatial_shape))
         h = x.reshape(b, t, c)
-        h_norm = channel_norm(h)
+        h_norm = channel_norm(h, ddof=self.norm_ddof)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h_norm)
         if self.use_pallas and self.num_heads == 1:
             from climate2weather_tpu.ops.attention import fused_attention
@@ -150,6 +158,7 @@ class UNet(nn.Module):
     spatial: int = 2
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = False
+    norm_ddof: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -172,6 +181,7 @@ class UNet(nn.Module):
                         kernel_size=k,
                         spatial=sd,
                         dtype=self.dtype,
+                        norm_ddof=self.norm_ddof,
                         name=f"{stage}{i}_block{bi}",
                     )
                 )
@@ -181,6 +191,7 @@ class UNet(nn.Module):
                             self.hidden_channels[i],
                             dtype=self.dtype,
                             use_pallas=self.use_pallas_attention,
+                            norm_ddof=self.norm_ddof,
                             name=f"{stage}{i}_attn{bi}",
                         )
                     )
@@ -209,7 +220,7 @@ class UNet(nn.Module):
             for block in level_blocks(i, "up"):
                 x = block(x, emb) if isinstance(block, ModResidualBlock) else block(x)
             if i > 0:
-                x = channel_norm(x)
+                x = channel_norm(x, ddof=self.norm_ddof)
                 x = nearest_upsample(x, s, sd)
                 x = nn.Conv(
                     self.hidden_channels[i - 1], kern, padding=pad,

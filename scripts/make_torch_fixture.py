@@ -1,0 +1,153 @@
+"""Generate the golden torch-snapshot fixture for the importer parity test.
+
+Runs the REFERENCE model code (executed, not copied) to produce:
+
+  tests/fixtures/torch_snapshot_tiny.pkl — a snapshot in the reference's
+      released format (pickled EasyDict{dataset_kwargs, pipeline, ema} with
+      an fp16 torch ScoreUNet; reference training_loop.py:240-267), tiny
+      widths so the committed file stays small.
+  tests/fixtures/torch_golden_tiny.npz — fixed input x [B, C*w, H, W] and
+      times t plus the fp32 eps prediction of that snapshot (weights widened
+      fp16 -> fp32, exactly what the importer does).
+
+Run from the repo root with the reference checkout available:
+
+  python scripts/make_torch_fixture.py --reference /root/reference
+
+The outputs are committed; the parity test (tests/test_import_snapshot.py)
+needs only the fixtures + torch, never the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import torch
+
+
+def install_zuko_shim():
+    """The reference imports ``zuko.nn.LayerNorm`` (model/nn.py:8); zuko is
+    not installed here.  Shim it with zuko's published implementation: a
+    non-learnable standardization over ``dim`` using ``torch.var_mean``
+    (UNBIASED variance — torch's default) and additive eps."""
+    zuko = types.ModuleType("zuko")
+    zuko_nn = types.ModuleType("zuko.nn")
+
+    class LayerNorm(torch.nn.Module):
+        def __init__(self, dim=-1, eps=1e-5):
+            super().__init__()
+            self.dim = dim
+            self.eps = eps
+
+        def forward(self, x):
+            var, mean = torch.var_mean(x, dim=self.dim, keepdim=True)
+            return (x - mean) / (var + self.eps).sqrt()
+
+    # pickle must resolve the class as zuko.nn.LayerNorm — the module path
+    # the real released snapshot references
+    LayerNorm.__module__ = "zuko.nn"
+    LayerNorm.__qualname__ = "LayerNorm"
+    zuko_nn.LayerNorm = LayerNorm
+    zuko.nn = zuko_nn
+    sys.modules["zuko"] = zuko
+    sys.modules["zuko.nn"] = zuko_nn
+
+    # the thor package __init__ pulls in checkpoint.py (lightning Fabric) and
+    # pipelines.py (tqdm); neither affects the model math — stub if absent
+    if "lightning" not in sys.modules:
+        try:
+            import lightning  # noqa: F401
+        except ImportError:
+            lightning = types.ModuleType("lightning")
+            fabric = types.ModuleType("lightning.fabric")
+            fabric.Fabric = type("Fabric", (), {})
+            fabric.seed_everything = lambda *a, **k: None
+            lightning.fabric = fabric
+            sys.modules["lightning"] = lightning
+            sys.modules["lightning.fabric"] = fabric
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.make_grid = lambda *a, **k: None
+        tv.utils = tv_utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils
+    try:
+        import tqdm.auto  # noqa: F401
+    except ImportError:
+        tqdm = types.ModuleType("tqdm")
+        tqdm_auto = types.ModuleType("tqdm.auto")
+        tqdm_auto.tqdm = lambda it, **kw: it
+        tqdm.auto = tqdm_auto
+        sys.modules["tqdm"] = tqdm
+        sys.modules["tqdm.auto"] = tqdm_auto
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--out-dir", default="tests/fixtures")
+    args = ap.parse_args()
+
+    install_zuko_shim()
+    sys.path.insert(0, args.reference)
+    sys.path.insert(0, os.path.join(args.reference, "src"))
+
+    from model.score import ScoreUNet  # reference code (executed, not copied)
+    from thor.pipelines import SDAPipeline
+    import util
+
+    torch.manual_seed(0)
+    C, window, res, E = 2, 5, 16, 32
+    net = ScoreUNet(
+        channels=C * window,
+        embedding_dim=E,
+        hidden_channels=(8, 16),
+        hidden_blocks=(1, 1),
+        attention_levels=[1],
+        activation=torch.nn.SiLU,
+    )
+    # perturb params away from default init symmetry
+    with torch.no_grad():
+        for p in net.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+
+    snap = util.EasyDict(
+        dataset_kwargs=util.EasyDict(
+            class_name="dataset.COSMODataset",
+            window=window,
+            num_features=C,
+            spatial_res=res,
+        ),
+        pipeline=SDAPipeline(eta=1e-3),
+        ema=copy.deepcopy(net).cpu().eval().requires_grad_(False).to(torch.float16),
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    pkl_path = os.path.join(args.out_dir, "torch_snapshot_tiny.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump(snap, f)
+
+    # golden forward: widen the fp16 snapshot weights to fp32 (importer
+    # semantics) and evaluate on a fixed batch
+    golden_net = copy.deepcopy(snap.ema).to(torch.float32)
+    rng = np.random.RandomState(42)
+    x = rng.randn(2, C * window, res, res).astype(np.float32)
+    t = np.array([0.3, 0.8], np.float32)
+    with torch.no_grad():
+        out = golden_net(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    npz_path = os.path.join(args.out_dir, "torch_golden_tiny.npz")
+    np.savez(npz_path, x=x, t=t, out=out)
+    print(f"Wrote {pkl_path} ({os.path.getsize(pkl_path)} bytes)")
+    print(f"Wrote {npz_path}; out std={out.std():.4f}")
+
+
+if __name__ == "__main__":
+    main()
