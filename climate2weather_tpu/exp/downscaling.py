@@ -431,31 +431,52 @@ def _run_impl(
     return save_path
 
 
+def _draw_likelihood_hparams(n_channels: int = 4):
+    """One (sigma, gamma) draw from the published search space.
+
+    Search-space protocol (reference exp/downscaling.py:290-321): a
+    100-point log-uniform grid over [1e-4, 10^0.2]; n_channels-1 independent
+    per-channel sigma draws with the final channel reusing the previous one
+    (uas/vas share a noise scale), and one scalar gamma.  Uses the global
+    numpy stream so callers control seeding per trial.
+    """
+    grid = np.logspace(-4, 0.2, 100)
+    sigmas = [float(s) for s in np.random.choice(grid, size=n_channels - 1)]
+    sigmas.append(sigmas[-1])
+    return tuple(sigmas), float(np.random.choice(grid))
+
+
 def sweep_likelihood_hparams(
     save_path: str, config_path: str, trials: int, base_seed: int = 99
 ):
-    """Random log-space search over per-channel sigma and scalar gamma
-    (reference exp/downscaling.py:290-321)."""
-    set_random_seed(base_seed, 0)
-    sigma_dist = np.logspace(-4, 0.2, 100)
-    gamma_dist = np.logspace(-4, 0.2, 100)
+    """Random search over the likelihood guidance hyperparameters.
 
+    Each trial re-seeds its own draw (so a crashed sweep re-run reproduces
+    the same trial sequence), samples a (per-channel sigma, gamma) point,
+    and generates the standard 10-sample / 49-hour evaluation ensemble.
+    Failures are isolated per trial; a summary table prints at the end.
+    """
+    outcomes = []
     for n in range(1, trials + 1):
         set_random_seed(base_seed, n)
-        sigma_draw = np.random.choice(sigma_dist, size=3, replace=True)
-        cur_sigma = tuple([float(s) for s in sigma_draw] + [float(sigma_draw[-1])])
-        cur_gamma = float(np.random.choice(gamma_dist))
-        print(f"Trial {n}: sigma = {cur_sigma}, gamma = {cur_gamma}")
+        sigma, gamma = _draw_likelihood_hparams()
+        print(f"Trial {n}: sigma = {sigma}, gamma = {gamma}")
         try:
-            run(
+            out = run(
                 save_path=save_path,
                 config_path=config_path,
-                likelihood_std=cur_sigma,
-                likelihood_gamma=cur_gamma,
+                likelihood_std=sigma,
+                likelihood_gamma=gamma,
                 num_samples=10,
                 num_hours=49,
                 num_corrections=0,
                 seed=base_seed,
             )
+            outcomes.append((n, sigma, gamma, str(out)))
         except Exception as e:
             print(f"Trial {n} failed: {e}")
+            outcomes.append((n, sigma, gamma, f"FAILED: {e}"))
+    print("Sweep summary:")
+    for n, sigma, gamma, res in outcomes:
+        print(f"  trial {n}: sigma={sigma} gamma={gamma} -> {res}")
+    return outcomes

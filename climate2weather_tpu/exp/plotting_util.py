@@ -12,8 +12,9 @@ is not installed in this image, so the projection pipeline is implemented
 directly: COSMO rotated-pole -> geographic lon/lat (the stored-coords
 transform; COSMO-REA6 rotated north pole at 39.25N, -162E) and the
 Mollweide forward projection, rendered with plain matplotlib pcolormesh
-plus a graticule.  Cartopy borders/coastlines are added when the package is
-importable.
+plus a graticule.  Geographic context (coastlines/borders) comes from
+cartopy when importable, else from the vendored coarse polyline set in
+``exp/geodata.py`` — dependency-free.
 """
 
 from __future__ import annotations
@@ -124,6 +125,36 @@ def _graticule(ax, lon_grid, lat_grid, lon0, step=2.0):
         ax.plot(x, y, color="gray", lw=0.3, alpha=0.6, zorder=12)
 
 
+def _draw_geography(ax, lon_grid, lat_grid, lon0):
+    """Coastlines/borders over the projected domain.
+
+    The reference adds cartopy NaturalEarth features to every map
+    (plotting_util.py:58-95); cartopy is used when importable, otherwise the
+    vendored coarse polyline set (exp/geodata.py) provides the context
+    dependency-free."""
+    try:  # full-fidelity cartopy features when available
+        import cartopy.feature as cfeature  # type: ignore
+
+        ax.add_feature(cfeature.BORDERS, linewidth=0.4)
+        ax.coastlines(linewidth=0.4)
+        return
+    except Exception:
+        pass
+    from climate2weather_tpu.exp.geodata import geography_segments
+
+    bbox = (
+        float(lon_grid.min()), float(lon_grid.max()),
+        float(lat_grid.min()), float(lat_grid.max()),
+    )
+    for kind, color, lw in (
+        ("coastlines", "black", 0.8),
+        ("borders", "dimgray", 0.5),
+    ):
+        for seg in geography_segments(kind, bbox=bbox):
+            x, y = mollweide_xy(seg[:, 0], seg[:, 1], lon0)
+            ax.plot(x, y, color=color, lw=lw, alpha=0.9, zorder=13)
+
+
 def plot_map(
     field: np.ndarray,
     rlat: Optional[np.ndarray] = None,
@@ -137,6 +168,7 @@ def plot_map(
     lon: Optional[np.ndarray] = None,
     lat: Optional[np.ndarray] = None,
     graticule: bool = True,
+    geography: bool = True,
 ):
     """Render one [H, W] field on its geographic grid, Mollweide-projected
     (the reference's pcolormesh-on-cartopy pipeline, plotting_util.py:121-143).
@@ -144,7 +176,8 @@ def plot_map(
     Coordinates: pass stored 2-D ``lon``/``lat`` aux coords directly, or the
     rotated-pole axes ``rlat``/``rlon`` (transformed via the COSMO-REA6
     pole).  With no coordinates at all, falls back to a plain imshow.
-    Cartopy borders/coastlines are overlaid when the package is importable.
+    Coastlines/borders are overlaid from cartopy when importable, else from
+    the vendored polyline set (``geography=False`` disables).
     """
     plt = _plt()
     if ax is None:
@@ -169,13 +202,8 @@ def plot_map(
         im = ax.imshow(
             field, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax
         )
-    try:  # optional cartopy borders
-        import cartopy.feature as cfeature  # type: ignore
-
-        ax.add_feature(cfeature.BORDERS, linewidth=0.4)
-        ax.coastlines(linewidth=0.4)
-    except Exception:
-        pass
+    if lon is not None and geography:
+        _draw_geography(ax, lon, lat, lon0)
     if title:
         ax.set_title(title, fontsize=9)
     elif title is None and var:  # title="" suppresses entirely

@@ -431,6 +431,10 @@ def training_loop(
                         if losses_accum
                         else None,
                         "train/kdata": cur_ndata // 1000,
+                        # exact position: kdata is a lossy // 1000 (several
+                        # log events can share one kdata), but resume parity
+                        # checks need the precise stream position
+                        "train/ndata": cur_ndata,
                         "train/elapsed_time": total_elapsed_time,
                         "train/lr": float(schedule(cur_ndata // batch_size)),
                     }

@@ -1,0 +1,250 @@
+"""Production-scale training soak with fault injection.
+
+Drives the real training CLI to tens of Mi of ndata as a chain of short
+jobs, alternating CLEAN slice exits (``--slice-data``, the reference's
+time-limited-SLURM mechanism, reference training_loop.py:141-152) with
+HARD KILLS (SIGKILL mid-slice), and asserts the recovery contract:
+
+1. every restart resumes from the latest checkpoint (always-on
+   ``load_latest``, reference src/thor/checkpoint.py:61-79);
+2. the chained/killed run's loss series is IDENTICAL at every common kdata
+   point to a single uninterrupted run — i.e. the data stream, per-step rng
+   and optimizer state resume bit-exactly (ndata-derived
+   InfiniteSampler/rng, training/loop.py);
+3. training reaches the target ndata and loss is finite and decreasing.
+
+Usage (CPU smoke, ~5 min):
+  python scripts/soak_training.py --total 64Ki --slices 4 --platform cpu
+
+Production soak (TPU, 50Mi+, ~1 h):
+  python scripts/soak_training.py --total 50Mi --slices 12 --kill-every 3
+
+Writes SOAK.json in the run dir with the assertion results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def build_data(data_dir: pathlib.Path, res: int = 32, t: int = 256) -> str:
+    sys.path.insert(0, str(REPO))
+    from climate2weather_tpu.data.grid import GridDataset
+    from climate2weather_tpu.data.processing import (
+        compute_quantiles,
+        merged_to_normed_h5,
+    )
+
+    data_dir.mkdir(parents=True, exist_ok=True)
+    h5 = data_dir / "train.h5"
+    if h5.exists():
+        return str(h5)
+    rng = np.random.RandomState(0)
+    time_ax = np.datetime64("2014-01-01T00", "ns") + np.arange(t) * np.timedelta64(
+        1, "h"
+    )
+    ds = GridDataset(
+        {
+            v: rng.randn(t, res, res).astype(np.float32)
+            for v in ("psl", "tas", "uas", "vas")
+        },
+        {
+            "time": time_ax,
+            "rlat": np.linspace(-2, 2, res),
+            "rlon": np.linspace(0, 4, res),
+        },
+    )
+    ds.to_file(str(data_dir / "merged.nc"))
+    compute_quantiles(ds).to_file(str(data_dir / "quantiles.nc"))
+    merged_to_normed_h5(
+        str(data_dir / "merged.nc"), str(data_dir / "quantiles.nc"), str(h5)
+    )
+    return str(h5)
+
+
+def train_cmd(run_dir, run_id, h5, total, batch, slice_data=None, platform=None):
+    cmd = [
+        sys.executable, str(REPO / "train.py"),
+        "--run-dir", str(run_dir), "--run-id", run_id,
+        "--train-data", h5, "--spatial-res", "32", "--num-features", "4",
+        "--markov-order", "2",
+        "--model-config", str(REPO / "configs" / "tiny_unet.yml"),
+        "--cache-data",
+        "--lr", "1e-3", "--total-ndata", total, "--batch", str(batch),
+        "--status", "16Ki", "--snapshot", "1Gi",
+        "--checkpoint", str(4 * batch), "--logging", str(batch * 2),
+        "--valid", "1Gi", "--seed", "42",
+    ]
+    if slice_data:
+        cmd += ["--slice-data", slice_data]
+    env = dict(os.environ)
+    if platform:
+        env["C2W_PLATFORM"] = platform
+    env["PYTHONUNBUFFERED"] = "1"
+    return cmd, env
+
+
+def read_losses(run_dir: pathlib.Path) -> dict:
+    """{ndata: [losses]} from metrics.jsonl.
+
+    Keyed on the exact stream position ``train/ndata`` — after a mid-slice
+    kill the replayed interval logs the same positions again, and bit-exact
+    resume demands the replayed losses match the originals exactly.
+    """
+    out = {}
+    path = run_dir / "metrics.jsonl"
+    if not path.exists():
+        return out
+    for line in path.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "train/loss" in rec:
+            key = rec.get("train/ndata", rec["train/kdata"] * 1024)
+            out.setdefault(key, []).append(rec["train/loss"])
+    return out
+
+
+def run_to_completion(cmd, env, log, kill_after=None) -> int:
+    with open(log, "ab") as f:
+        proc = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
+        if kill_after is None:
+            return proc.wait()
+        # fault injection: SIGKILL mid-slice once training has progressed
+        deadline = time.time() + kill_after
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                return proc.returncode  # finished before the kill window
+            time.sleep(1.0)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+        return -9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--total", default="64Ki")
+    ap.add_argument("--slices", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--kill-every", type=int, default=2,
+                    help="hard-kill every Nth slice instead of clean exit")
+    ap.add_argument("--kill-after", type=float, default=45.0,
+                    help="seconds into a killed slice before SIGKILL")
+    ap.add_argument("--platform", default=None, help="e.g. cpu")
+    ap.add_argument("--work-dir", default="/tmp/c2w_soak")
+    ap.add_argument("--skip-reference-run", action="store_true",
+                    help="skip the uninterrupted run (no loss-parity check)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(REPO))
+    from climate2weather_tpu.utils.ndata import parse_ndata
+
+    work = pathlib.Path(args.work_dir)
+    total = parse_ndata(args.total)
+    slice_nd = total // args.slices
+    assert slice_nd % args.batch == 0, "slice size must divide batch"
+    h5 = build_data(work / "data")
+
+    results = {"total_ndata": total, "slices": args.slices, "restarts": []}
+
+    # --- uninterrupted reference run -------------------------------------
+    ref_dir = work / "runs" / "ref"
+    if not args.skip_reference_run:
+        if ref_dir.exists():
+            shutil.rmtree(ref_dir)
+        cmd, env = train_cmd(work / "runs", "ref", h5, str(total), args.batch,
+                             platform=args.platform)
+        t0 = time.time()
+        rc = run_to_completion(cmd, env, work / "ref.log")
+        assert rc == 0, f"reference run failed rc={rc}; see {work}/ref.log"
+        results["ref_wall_s"] = round(time.time() - t0, 1)
+
+    # --- chained + killed run --------------------------------------------
+    soak_dir = work / "runs" / "soak"
+    if soak_dir.exists():
+        shutil.rmtree(soak_dir)
+    n_starts = 0
+    t0 = time.time()
+    while True:
+        kill = (n_starts % args.kill_every == args.kill_every - 1)
+        cmd, env = train_cmd(
+            work / "runs", "soak", h5, str(total), args.batch,
+            slice_data=str(slice_nd), platform=args.platform,
+        )
+        rc = run_to_completion(
+            cmd, env, work / "soak.log",
+            kill_after=args.kill_after if kill else None,
+        )
+        n_starts += 1
+        losses = read_losses(soak_dir)
+        results["restarts"].append(
+            {"start": n_starts, "rc": rc, "killed": kill and rc == -9,
+             "max_ndata": max(losses) if losses else 0}
+        )
+        print(f"slice {n_starts}: rc={rc} kill={kill} "
+              f"progress={max(losses) if losses else 0} / {total} ndata")
+        if losses and max(losses) >= total:
+            break
+        assert n_starts < args.slices * 4 + 8, (
+            f"soak not converging after {n_starts} starts; see {work}/soak.log"
+        )
+    results["soak_wall_s"] = round(time.time() - t0, 1)
+    results["n_starts"] = n_starts
+
+    # --- assertions -------------------------------------------------------
+    soak_losses = read_losses(soak_dir)
+    # 1. no kdata interval was logged twice with different values (a rerun of
+    #    already-trained data would duplicate entries with differing losses)
+    dupes = {
+        k: v for k, v in soak_losses.items()
+        if len(set(np.float32(x) for x in v)) > 1
+    }
+    results["duplicate_interval_mismatches"] = len(dupes)
+    assert not dupes, f"re-trained intervals produced different losses: {dupes}"
+
+    final_losses = {k: v[-1] for k, v in soak_losses.items()}
+    ks = sorted(final_losses)
+    assert all(np.isfinite(final_losses[k]) for k in ks), "non-finite loss"
+    results["first_loss"] = final_losses[ks[0]]
+    results["final_loss"] = final_losses[ks[-1]]
+    assert final_losses[ks[-1]] < final_losses[ks[0]], "loss did not decrease"
+
+    # 2. bit-exact parity with the uninterrupted run at every common kdata
+    if not args.skip_reference_run:
+        ref_losses = {k: v[-1] for k, v in read_losses(ref_dir).items()}
+        common = sorted(set(ref_losses) & set(final_losses))
+        assert common, "no common kdata points between ref and soak runs"
+        mism = [
+            k for k in common
+            if np.float32(ref_losses[k]) != np.float32(final_losses[k])
+        ]
+        results["common_log_points"] = len(common)
+        results["loss_parity_mismatches"] = len(mism)
+        assert not mism, (
+            f"loss series diverged from the uninterrupted run at ndata {mism[:5]}"
+            " — ndata-resume is not bit-exact"
+        )
+
+    out = soak_dir / "SOAK.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    print(f"SOAK PASSED: {n_starts} starts "
+          f"({sum(1 for r in results['restarts'] if r['killed'])} hard kills), "
+          f"loss parity on {results.get('common_log_points', 'n/a')} points")
+
+
+if __name__ == "__main__":
+    main()
