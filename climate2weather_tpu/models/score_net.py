@@ -64,6 +64,7 @@ class ScoreUNet(nn.Module):
     # reference's zuko LayerNorm (unbiased), required when evaluating weights
     # imported from released torch snapshots
     norm_ddof: int = 0
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(
@@ -98,6 +99,7 @@ class ScoreUNet(nn.Module):
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             norm_ddof=self.norm_ddof,
+            fused_upsample=self.fused_upsample,
             name="unet",
         )(x, emb)
         return out
@@ -136,4 +138,5 @@ def build_score_unet(
         dtype=dtype,
         use_pallas_attention=use_pallas_attention,
         norm_ddof=int(cfg.get("norm_ddof", 0)),
+        fused_upsample=bool(cfg.get("fused_upsample", False)),
     )

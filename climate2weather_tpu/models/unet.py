@@ -127,6 +127,78 @@ class AttentionBlock(nn.Module):
         return ((h + out)).reshape(b, *spatial_shape, c)
 
 
+class NearestUpConv2x(nn.Module):
+    """Fused nearest-upsample(2x) -> 3x3 conv, decomposed by output parity.
+
+    Mathematically EXACT rewrite of ``conv3x3(nearest_upsample(x, 2))`` for
+    2-D inputs: with u[p] = x[floor(p/2)], each output parity (a, b) in
+    {0,1}^2 reads only a 2x2 neighbourhood of the LOW-resolution input, with
+    taps that are sums of the original 3x3 taps:
+
+        rows, a=0:  {i-1: K[0], i: K[1]+K[2]}
+        rows, a=1:  {i: K[0]+K[1], i+1: K[2]}     (same for columns)
+
+    So the op becomes four quarter-size 2x2 convs + an interleave: 16/36 of
+    the original multiply-adds and no 4x-size upsampled intermediate in HBM.
+    Parameters are identical to the plain conv (kernel [3,3,C,O], bias [O];
+    same names), so checkpoints are interchangeable with the unfused path.
+
+    MEASURED (ops/README.md): on the flagship model this is 1.6% SLOWER than
+    XLA's plain upsample+conv (2x2 convs tile the MXU worse and the parity
+    interleave materializes) — hence default OFF; kept as an exact,
+    property-tested option and a record of the experiment.
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        O = self.out_channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, O), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (O,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        # row-parity tap combination: [2, 3, C, O] per parity
+        r0 = jnp.stack([k[0], k[1] + k[2]])          # offsets {-1, 0}
+        r1 = jnp.stack([k[0] + k[1], k[2]])          # offsets {0, +1}
+        # column-parity combination applied to each row-parity kernel
+        def cols(kr):
+            c0 = jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1)
+            c1 = jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1)
+            return c0, c1
+
+        k00, k01 = cols(r0)
+        k10, k11 = cols(r1)
+        # padding per parity: offset {-1,0} pads before, {0,+1} pads after
+        pads = {0: (1, 0), 1: (0, 1)}
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, (2, 2, C, O), ("NHWC", "HWIO", "NHWC")
+        )
+
+        def conv2(x_, k_, a, b):
+            return jax.lax.conv_general_dilated(
+                x_, k_, (1, 1), (pads[a], pads[b]), dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+
+        y00 = conv2(x, k00, 0, 0)
+        y01 = conv2(x, k01, 0, 1)
+        y10 = conv2(x, k10, 1, 0)
+        y11 = conv2(x, k11, 1, 1)
+        B, h, w, _ = y00.shape
+        y = jnp.stack(
+            [jnp.stack([y00, y01], axis=3), jnp.stack([y10, y11], axis=3)],
+            axis=2,
+        )  # [B, h, 2(a), w, 2(b), O]
+        y = y.reshape(B, 2 * h, 2 * w, O)
+        return y + bias.astype(self.dtype)
+
+
 def nearest_upsample(x: jnp.ndarray, s: int, spatial: int) -> jnp.ndarray:
     """Nearest-neighbour upsample by s along every spatial dim of
     [B, *spatial, C], as reshape-broadcast (no gather)."""
@@ -159,6 +231,9 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = False
     norm_ddof: int = 0
+    # fuse nearest-upsample + tail conv by output parity (exact; 2-D stride-2
+    # only — other configs fall back to the materialized upsample)
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -221,11 +296,17 @@ class UNet(nn.Module):
                 x = block(x, emb) if isinstance(block, ModResidualBlock) else block(x)
             if i > 0:
                 x = channel_norm(x, ddof=self.norm_ddof)
-                x = nearest_upsample(x, s, sd)
-                x = nn.Conv(
-                    self.hidden_channels[i - 1], kern, padding=pad,
-                    dtype=self.dtype, name=f"tail{i}",
-                )(x)
+                if self.fused_upsample and sd == 2 and s == 2 and k == 3:
+                    x = NearestUpConv2x(
+                        self.hidden_channels[i - 1], dtype=self.dtype,
+                        name=f"tail{i}",
+                    )(x)
+                else:
+                    x = nearest_upsample(x, s, sd)
+                    x = nn.Conv(
+                        self.hidden_channels[i - 1], kern, padding=pad,
+                        dtype=self.dtype, name=f"tail{i}",
+                    )(x)
                 x = x + memory.pop()
             else:
                 x = nn.Conv(
