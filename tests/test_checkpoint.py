@@ -1,5 +1,6 @@
 """Checkpoint/snapshot round-trips and latest-resume semantics."""
 
+import pytest
 import os
 
 import jax
@@ -32,6 +33,7 @@ def _mk_state(tiny_net, steps=0):
     return state
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_net, tmp_path):
     state = _mk_state(tiny_net, steps=2)
     path = str(tmp_path / "training-state-0000002.ckpt")
@@ -46,6 +48,7 @@ def test_checkpoint_roundtrip(tiny_net, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_load_latest_picks_highest(tiny_net, tmp_path):
     s1 = _mk_state(tiny_net, steps=1)
     s3 = _mk_state(tiny_net, steps=3)

@@ -1,5 +1,6 @@
 """Device-resident dataset path: gather correctness + step parity."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def test_upload_dataset_roundtrip():
     np.testing.assert_array_equal(np.asarray(arr), data)
 
 
+@pytest.mark.slow
 def test_device_step_matches_streaming_step(tiny_net):
     net, params, C, window = tiny_net
     proc = VPCosineProcess()
@@ -52,6 +54,7 @@ def test_device_step_matches_streaming_step(tiny_net):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_device_step_accumulation(tiny_net):
     net, params, C, window = tiny_net
     proc = VPCosineProcess()

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # integration tier: run with the full suite
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

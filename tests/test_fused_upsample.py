@@ -60,6 +60,7 @@ def test_unet_fused_vs_unfused_same_params():
     )
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_fused_path():
     net = UNet(
         out_channels=4, mod_features=8, hidden_channels=(4, 8),

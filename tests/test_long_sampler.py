@@ -76,6 +76,7 @@ def test_long_matches_plain_unguided(setup):
     np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_stepwise_matches_single_scan(setup):
     proc, eps_fn, params, k, sf, guidance, noise = setup
     common = dict(markov_order=k, chunk_size=4, guidance=guidance, steps=5,
@@ -149,6 +150,7 @@ def test_single_step_relative_match(setup):
     np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_long_exact_grad_matches_short_autodiff(setup):
     """exact_grad=True on the long path (grad through the remat'd chunked
     window scan) must match the short path's jax.grad through the full
@@ -175,6 +177,7 @@ def test_long_exact_grad_matches_short_autodiff(setup):
     assert np.all(np.isfinite(np.asarray(got_d)))
 
 
+@pytest.mark.slow
 def test_long_proc_x0_threaded(setup):
     """proc_x0 must be applied at each predictor step (reference
     src/thor/pipelines.py:41-46): clamping x0 to 0 makes the output pure

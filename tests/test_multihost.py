@@ -17,6 +17,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with the full suite
+
 
 def _free_port():
     s = socket.socket()

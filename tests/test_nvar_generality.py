@@ -15,6 +15,7 @@ from climate2weather_tpu.diffusion import (
 from climate2weather_tpu.diffusion.long_sampler import sample_guided_long
 from climate2weather_tpu.diffusion.window import make_batched_eps_fn
 from climate2weather_tpu.models import ScoreUNet
+import pytest
 
 SIX_VARS = ("hurs", "psl", "rsds", "tas", "uas", "vas")
 
@@ -38,6 +39,7 @@ def test_six_variable_pipeline(tmp_path):
         assert f["x"].shape == (24, 6, 16, 16)
 
 
+@pytest.mark.slow
 def test_six_variable_guided_sampling(rng):
     C, window, k = 6, 3, 1
     net = ScoreUNet(

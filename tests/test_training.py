@@ -1,5 +1,6 @@
 """EMA algebra, LR schedules, train step, dataset/sampler semantics."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,6 +67,7 @@ def test_window_dataset_layout(tiny_h5):
             np.testing.assert_allclose(item[:, :, f * 2 + c], x[3 + f, c])
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(tiny_net):
     net, params, C, window = tiny_net
     proc = VPCosineProcess()
@@ -83,6 +85,7 @@ def test_train_step_decreases_loss(tiny_net):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_train_step_accumulation_matches_big_batch(tiny_net):
     """The no_backward_sync contract (reference training_loop.py:373-378):
     N accumulation rounds must produce exactly one optimizer step whose

@@ -26,6 +26,7 @@ def test_nearest_upsample_ranks():
     assert nearest_upsample(x3, 2, 3).shape == (1, 4, 4, 4, 3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("spatial,shape", [(1, (2, 16, 4)), (2, (2, 16, 16, 4)), (3, (2, 8, 8, 8, 4))])
 def test_unet_forward_ranks(spatial, shape):
     net = UNet(
