@@ -75,6 +75,20 @@ def build_data(data_dir: pathlib.Path, res: int = 32, t: int = 256) -> str:
 
 
 def train_cmd(run_dir, run_id, h5, total, batch, slice_data=None, platform=None):
+    # Interval math must scale with --total: the CPU smoke (64Ki) wants
+    # checkpoints every few steps so kills always have something to resume
+    # from, while a 50Mi production soak would drown in 51k checkpoint
+    # writes (and a log callback every 2 steps stalls dispatch on the
+    # 1-core host). All intervals must divide batch (loop.py asserts).
+    total_nd = int(total)
+    slice_nd = int(slice_data) if slice_data else total_nd
+
+    def _round_to_batch(n):
+        return max(batch, (n // batch) * batch)
+
+    checkpoint = _round_to_batch(min(slice_nd // 4, max(4 * batch, total_nd // 256)))
+    logging = _round_to_batch(max(2 * batch, total_nd // 256))
+    status = _round_to_batch(max(16 << 10, total_nd // 64))
     cmd = [
         sys.executable, str(REPO / "train.py"),
         "--run-dir", str(run_dir), "--run-id", run_id,
@@ -82,9 +96,9 @@ def train_cmd(run_dir, run_id, h5, total, batch, slice_data=None, platform=None)
         "--markov-order", "2",
         "--model-config", str(REPO / "configs" / "tiny_unet.yml"),
         "--cache-data",
-        "--lr", "1e-3", "--total-ndata", total, "--batch", str(batch),
-        "--status", "16Ki", "--snapshot", "1Gi",
-        "--checkpoint", str(4 * batch), "--logging", str(batch * 2),
+        "--lr", "1e-3", "--total-ndata", str(total_nd), "--batch", str(batch),
+        "--status", str(status), "--snapshot", "1Gi",
+        "--checkpoint", str(checkpoint), "--logging", str(logging),
         "--valid", "1Gi", "--seed", "42",
     ]
     if slice_data:
