@@ -119,6 +119,7 @@ def sample_host(
     seed: int = 0,
     verbose: bool = False,
     proc_x0=None,
+    denoise_final: bool = False,
 ) -> np.ndarray:
     """Predictor-corrector sampling over a host-resident trajectory.
 
@@ -190,4 +191,17 @@ def sample_host(
             raise FloatingPointError(f"NaN detected in sample at step {i}")
         if verbose and (i % 16 == 0 or i == steps - 1):
             print(f"host-stream sampling: step {i + 1}/{steps}")
+    if denoise_final:
+        # one extra guided score pass at t=0; return the posterior-mean
+        # estimate, removing the sigma(0)=eta residual floor (see
+        # sampler.sample). In-place: x -= sigma0 * eps then /= mu0.
+        mu0, sigma0 = schedule(0.0)
+        eps = guided_eps(x, 0.0)
+        eps *= sigma0
+        x -= eps
+        x /= mu0
+        if proc_x0 is not None:
+            x = proc_x0(x)
+        if not np.isfinite(x).all():
+            raise FloatingPointError("NaN detected in final denoise")
     return x

@@ -294,8 +294,14 @@ def sample_guided_long(
     verbose: bool = False,
     jit_cache: Optional[dict] = None,
     proc_x0: Optional[Callable] = None,
+    denoise_final: bool = False,
 ):
     """Guided PC sampling with memory bounded in the trajectory length.
+
+    ``denoise_final`` adds one guided score pass at t=0 and returns the
+    posterior-mean estimate instead of the re-noised state, removing the
+    sigma(0) = eta residual noise floor (see sampler.sample); chunked like
+    every other trajectory pass, so the memory bound is unchanged.
 
     ``noise`` is NCHW [L, C, H, W]; ``eps_apply(params, windows_nhwc, t)``
     is the window network; ``guidance`` (optional) supports both the
@@ -426,11 +432,37 @@ def sample_guided_long(
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return (x, key, nan_flag), None
 
+    def final_denoise(params_, x):
+        t0 = jnp.asarray(0.0, jnp.float32)
+        eps, err = guided_eps_and_err(params_, x, t0)
+        mu = process.mu(t0)
+        sigma = process.sigma(t0)
+
+        def body(out, ci):
+            f0 = jnp.minimum(ci * F, L - F)
+            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None, process, e_c, err, f0, t0
+            )
+            x0 = steprules.predict_x0(
+                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
+            )
+            if proc_x0 is not None:
+                x0 = proc_x0(x0)
+            return jax.lax.dynamic_update_slice_in_dim(out, x0, f0, 0), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros_like(x), jnp.arange(n_fchunks))
+        return out
+
     init = (noise, rng, jnp.asarray(False))
     if steps_per_call is None:
         (x, _, nan_flag), _ = jax.lax.scan(
             lambda c, t: step(params, c, t), init, time_steps
         )
+        if denoise_final:
+            x = final_denoise(params, x)
+            nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return x, nan_flag
 
     # params is a jit ARGUMENT (closure capture would embed it as HLO
@@ -456,9 +488,16 @@ def sample_guided_long(
         ),
     )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
-    return _stepwise_drive(
+    x, nan_flag = _stepwise_drive(
         run_chunk, init, time_steps, steps_per_call, steps, verbose
     )
+    if denoise_final:
+        fin_p = _jit_cache_lookup(
+            jit_cache, statics + ("final",), objs, lambda: jax.jit(final_denoise)
+        )
+        x = fin_p(params, x)
+        nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
+    return x, nan_flag
 
 
 def sample_dpmpp2m_long(
@@ -479,6 +518,7 @@ def sample_dpmpp2m_long(
     verbose: bool = False,
     jit_cache: Optional[dict] = None,
     proc_x0: Optional[Callable] = None,
+    denoise_final: bool = False,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
@@ -568,6 +608,37 @@ def sample_dpmpp2m_long(
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x_new)))
         return (x_new, x0_buf, h, jnp.asarray(False), nan_flag), None
 
+    def final_denoise(params_, x):
+        t0 = jnp.asarray(0.0, jnp.float32)
+        if exact:
+            eps, err = exact_guided_eps(params_, x, t0), None
+        else:
+            eps = window_pass(params_, x, t0)
+            err = (
+                _obs_err_nchw(guidance, process, x, eps, t0)
+                if guidance is not None
+                else None
+            )
+        mu = process.mu(t0)
+        sigma = process.sigma(t0)
+
+        def body(out, ci):
+            f0 = jnp.minimum(ci * F, L - F)
+            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None, process, e_c, err, f0, t0
+            )
+            x0 = steprules.predict_x0(
+                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
+            )
+            if proc_x0 is not None:
+                x0 = proc_x0(x0)
+            return jax.lax.dynamic_update_slice_in_dim(out, x0, f0, 0), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros_like(x), jnp.arange(n_fchunks))
+        return out
+
     init = (
         noise,
         jnp.zeros_like(noise),
@@ -580,6 +651,9 @@ def sample_dpmpp2m_long(
         (x, _, _, _, nan_flag), _ = jax.lax.scan(
             lambda c, t: step(params, c, t), init, (ts_pairs[:, 0], ts_pairs[:, 1])
         )
+        if denoise_final:
+            x = final_denoise(params, x)
+            nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return x, nan_flag
 
     # params as jit argument (see sample_guided_long); cache keyed on the
@@ -600,4 +674,13 @@ def sample_dpmpp2m_long(
         ),
     )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
-    return _stepwise_drive(run_chunk, init, ts_pairs, steps_per_call, steps, verbose)
+    x, nan_flag = _stepwise_drive(
+        run_chunk, init, ts_pairs, steps_per_call, steps, verbose
+    )
+    if denoise_final:
+        fin_p = _jit_cache_lookup(
+            jit_cache, statics + ("final",), objs, lambda: jax.jit(final_denoise)
+        )
+        x = fin_p(params, x)
+        nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
+    return x, nan_flag

@@ -109,6 +109,7 @@ def _run_impl(
     sampler_kind: str = "pc",
     long_trajectory_threshold: int = 512,
     ensemble_batch: int = 1,
+    denoise_final: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -217,6 +218,7 @@ def _run_impl(
         if sampler_kind == "pc"
         else {}
     )
+    sampler_extra["denoise_final"] = denoise_final
     # Long trajectories use the NCHW memory-bounded sampler: NHWC trajectory
     # buffers with C=4 lane-pad 32x on TPU and blow HBM at year scale
     # (diffusion/long_sampler.py).  Both guidance modes are supported there:
@@ -255,6 +257,7 @@ def _run_impl(
                 steps_per_call=8,
                 verbose=rank == 0,
                 jit_cache=_long_jit_cache,
+                denoise_final=denoise_final,
             )
             if sampler_kind == "dpmpp2m":
                 # the multistep carry needs ~5 trajectory buffers; go bf16
@@ -360,6 +363,7 @@ def _run_impl(
                 guidance_gamma=np.asarray(gamma) if do_condition else 1e-2,
                 seed=derive_seed(seed, "host", sample_id),
                 verbose=rank == 0,
+                denoise_final=denoise_final,
             )
             nan_flag = False
         else:

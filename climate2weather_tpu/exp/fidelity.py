@@ -69,6 +69,7 @@ def run(
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
+    denoise_final: bool = False,
 ) -> dict:
     from climate2weather_tpu.exp import figures, metrics
 
@@ -91,6 +92,7 @@ def run(
         ensemble_batch=int(ensemble_batch),
         seed=int(seed),
         use_exact_grad=False,
+        denoise_final=bool(denoise_final),
     )
 
     print("=== guided (on-model-eval conditioning) ===")
@@ -151,25 +153,30 @@ def run(
         f"- workload: {num_hours} h from {start_time}, {num_samples} guided "
         f"samples, {num_sampling_steps} steps, s_step={s_step}, "
         f"t_step={t_step} (reference on-model-eval protocol, "
-        "exp/configs/000_on-model-eval/s16_t6.yml)",
+        "exp/configs/000_on-model-eval/s16_t6.yml"
+        + (", final-denoise" if denoise_final else "") + ")",
         f"- metrics protocol: observation time grid, gt-standardized "
         f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
         "(reference exp/metrics.py:219-296)",
         "",
-        "| metric | variable | guided | unconditional |",
-        "|---|---|---|---|",
+        "| metric | variable | guided | unconditional | interp. obs baseline |",
+        "|---|---|---|---|---|",
     ]
     for kind in ("wasserstein", "melr", "ssim"):
         for v in sorted(m_guided[kind]):
+            bl = m_guided[kind][v].get("interp_baseline")
             lines.append(
                 f"| {kind} | {v} | {_fmt(m_guided[kind][v]['global'])} "
-                f"| {_fmt(m_uncond[kind][v]['global'])} |"
+                f"| {_fmt(m_uncond[kind][v]['global'])} "
+                f"| {_fmt(bl) if bl is not None else 'n/a'} |"
             )
     lines += [
         "",
         "Guided sampling must beat the unconditional control on W2 and SSIM "
         "(it is conditioned on coarsened truth); MELR measures spectral "
-        "fidelity and should be small and similar for both.",
+        "fidelity: guided must stay near the unconditional model's spectrum "
+        "(both should be small) while beating the interpolated-observation "
+        "baseline, which has no power above the observation Nyquist.",
         f"\nFigures: `{guided_dir}/figures/`",
     ]
     report = out_path / "FIDELITY.md"
@@ -195,6 +202,9 @@ def main():
     @click.option("--uncond-samples", default=None, type=int)
     @click.option("--seed", default=0, type=int)
     @click.option("--skip-figures", is_flag=True)
+    @click.option("--denoise-final", is_flag=True,
+                  help="extra score pass at t=0 removes the sigma(0)=eta "
+                       "residual noise floor from every sample")
     def cli(**kw):
         run(**kw)
 

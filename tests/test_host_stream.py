@@ -86,3 +86,24 @@ def test_host_sampler_matches_device_guided(tiny_net, rng):
         guidance_gamma=7e-4,
     )
     np.testing.assert_allclose(got, np.asarray(want), rtol=5e-2, atol=5e-2)
+
+
+def test_host_denoise_final_point_mass():
+    """Exact point-mass score: default keeps the sigma(0)=eta residual,
+    denoise_final returns exactly the point (see test_sampler.py)."""
+    from climate2weather_tpu.diffusion import VPCosineProcess
+    from climate2weather_tpu.diffusion.host_stream import sample_host
+
+    proc = VPCosineProcess()
+    c = -0.42
+
+    def score_fn(x, t):
+        mu = float(proc.mu(t))
+        sigma = float(proc.sigma(t))
+        return ((x - mu * c) / sigma).astype(np.float32)
+
+    noise = np.random.RandomState(0).randn(3, 4, 4, 2).astype(np.float32)
+    plain = sample_host(proc, score_fn, noise, steps=16)
+    den = sample_host(proc, score_fn, noise, steps=16, denoise_final=True)
+    assert np.abs(den - c).max() < 1e-5
+    assert np.abs(den - c).max() < 1e-2 * np.abs(plain - c).max()

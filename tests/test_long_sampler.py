@@ -225,3 +225,55 @@ def test_obs_shape_mismatch_raises(setup):
         )
     with pytest.raises(ValueError, match="observation"):
         sample(proc, lambda x, t: bad.guided_eps(sf, proc, x, t), noise, steps=1)
+
+
+@pytest.mark.slow
+def test_long_denoise_final_matches_short(setup):
+    """denoise_final must apply the same guided t=0 posterior-mean pass on
+    the chunked long path (both PC and DPM++) as on the short path."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    g_short = lambda x, t: guidance.guided_eps(sf, proc, x, t)
+    want, nan_w = sample(proc, g_short, noise, steps=4, denoise_final=True)
+    got, nan_g = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4,
+        frame_chunk=5, denoise_final=True,
+    )
+    assert not bool(nan_w) and not bool(nan_g)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    # and it must actually differ from the re-noised default
+    plain, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert float(jnp.abs(got - plain).max()) > 1e-5
+
+    want_d, _ = sample_dpmpp2m(proc, g_short, noise, steps=4, denoise_final=True)
+    got_d, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4,
+        frame_chunk=5, denoise_final=True,
+    )
+    np.testing.assert_allclose(
+        to_nhwc(got_d), np.asarray(want_d), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.slow
+def test_long_denoise_final_stepwise_cached(setup):
+    """Stepwise mode's cached final-denoise program must produce the same
+    result as the single-scan path."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    cache = {}
+    a, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4,
+        frame_chunk=5, denoise_final=True,
+    )
+    b, _ = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4,
+        frame_chunk=5, denoise_final=True, steps_per_call=2, jit_cache=cache,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert any("final" in key for key in cache)  # cached final program exists

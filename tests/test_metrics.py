@@ -6,9 +6,11 @@ from climate2weather_tpu.exp.metrics import (
     compute_wasserstein_nd,
     melr,
     rapsd,
+    rapsd_over_time,
     sliced_wasserstein_distance,
     ssim2d,
     ssim_ensemble,
+    upsample_observation,
 )
 
 
@@ -79,3 +81,48 @@ def test_ssim_ensemble_ordering():
     s = ssim_ensemble(samples, gt)
     assert s.shape == (2,)
     assert s[0] > s[1]
+
+
+def test_upsample_observation_constant_and_nearest():
+    obs = np.full((2, 4, 4), 3.5)
+    for method in ("nearest", "bilinear"):
+        up = upsample_observation(obs, 16, 16, method=method)
+        assert up.shape == (2, 16, 16)
+        np.testing.assert_allclose(up, 3.5)
+    blocks = np.arange(16, dtype=np.float64).reshape(1, 4, 4)
+    up = upsample_observation(blocks, 8, 8, method="nearest")
+    np.testing.assert_array_equal(up[0, :2, :2], 0.0)
+    np.testing.assert_array_equal(up[0, -2:, -2:], 15.0)
+
+
+def test_upsample_observation_inverts_avgpool_of_linear_ramp():
+    # avg-pool of a linear ramp keeps block means on the ramp, so bilinear
+    # upsampling through the aligned block centers reproduces the ramp
+    # exactly in the interior (edges clamp).
+    s = 4
+    H = W = 32
+    ramp = (
+        np.arange(H)[:, None] * 0.7 + np.arange(W)[None, :] * -0.3
+    )[None].astype(np.float64)
+    coarse = ramp.reshape(1, H // s, s, W // s, s).mean(axis=(2, 4))
+    up = upsample_observation(coarse, H, W, method="bilinear")
+    inner = slice(s, -s)
+    np.testing.assert_allclose(up[0, inner, inner], ramp[0, inner, inner],
+                               atol=1e-10)
+
+
+def test_interp_baseline_melr_exceeds_ensemble_melr():
+    # A white-noise ground truth has energy at all wavenumbers; bilinear
+    # upsampling of its 4x-pooled observation cannot carry the top 3/4 of
+    # the spectrum, so the baseline's MELR must dwarf that of samples drawn
+    # from the correct distribution.
+    rng = np.random.RandomState(0)
+    gt = rng.randn(3, 32, 32)
+    samples = rng.randn(2, 3, 32, 32)  # same law as gt -> same expected RAPSD
+    obs = gt.reshape(3, 8, 4, 8, 4).mean(axis=(2, 4))
+    base = upsample_observation(obs, 32, 32)[None]
+    r_s = rapsd_over_time(samples, gt)
+    r_b = rapsd_over_time(base, gt)
+    m_s = melr(r_s["sample_rapsd_over_time"], r_s["gt_rapsd_over_time"])
+    m_b = melr(r_b["sample_rapsd_over_time"], r_b["gt_rapsd_over_time"])
+    assert m_b.mean() > 3 * m_s.mean(), (m_b, m_s)

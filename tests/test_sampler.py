@@ -65,3 +65,29 @@ def test_proc_x0_hook(rng):
         proc, score_fn, noise, steps=4, proc_x0=lambda x0: jnp.clip(x0, -1.5, 1.5)
     )
     assert float(jnp.max(jnp.abs(out))) <= 1.5 + 1e-5
+
+
+def test_denoise_final_removes_eta_floor(rng):
+    """With the exact score of a point mass at c — eps(x,t) = (x - mu c) /
+    sigma — the default sampler ends at x = c + eta * eps_pred (the
+    reference's sigma(0)=eta residual, src/thor/pipelines.py:40-45), while
+    denoise_final returns exactly c."""
+    from climate2weather_tpu.diffusion.sampler import sample_dpmpp2m
+
+    proc = VPCosineProcess()
+    c = 0.73
+
+    def score_fn(x, t):
+        return (x - proc.mu(t) * c) / proc.sigma(t)
+
+    noise = jax.random.normal(rng, (512,))
+    for fn in (sample, sample_dpmpp2m):
+        plain, nan_p = fn(proc, score_fn, noise, steps=32)
+        den, nan_d = fn(proc, score_fn, noise, steps=32, denoise_final=True)
+        assert not bool(nan_p) and not bool(nan_d)
+        resid_plain = float(jnp.abs(plain - c).max())
+        resid_den = float(jnp.abs(den - c).max())
+        # the exact-score residual is sigma(0) * eps = O(eta * |x0-c|/eta)
+        # -> plain keeps a visible eta-scale floor, denoised collapses it
+        assert resid_den < 1e-5, (fn.__name__, resid_den)
+        assert resid_den < resid_plain * 1e-2, (fn.__name__, resid_plain, resid_den)
