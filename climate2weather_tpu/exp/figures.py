@@ -186,13 +186,20 @@ def storm_grid(
 
 
 def rapsd_figure(
-    samples: List[GridDataset], gt: GridDataset, out_dir: str, d: float = 6.0
+    samples: List[GridDataset], gt: GridDataset, out_dir: str, d: float = 6.0,
+    obs: Optional[GridDataset] = None,
 ) -> str:
-    """Mean radially averaged power spectra, ensemble vs ground truth."""
+    """Mean radially averaged power spectra: ensemble vs ground truth, plus
+    the bilinear-interpolated coarse observation (the no-model baseline —
+    its spectrum collapses above the obs Nyquist, which is exactly the band
+    the diffusion ensemble must fill; see metrics.upsample_observation)."""
+    from climate2weather_tpu.exp.metrics import upsample_observation
+
     plt = _plt()
     names = gt.var_names()
     fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3))
     T = gt.sizes["time"]
+    H, W = next(iter(gt.data_vars.values())).shape[-2:]
     t_idx = np.linspace(0, T - 1, min(T, 16)).astype(int)
     for ax, v in zip(np.atleast_1d(axes), names):
         gt_psd = np.mean([rapsd(gt.data_vars[v][t], d=d)[0] for t in t_idx], axis=0)
@@ -207,6 +214,18 @@ def rapsd_figure(
         )
         ax.loglog(freq[1:], gt_psd[1:], "k-", label="gt")
         ax.loglog(freq[1:], s_psd[1:], "C0-", label="samples")
+        if obs is not None and v in obs.data_vars:
+            o = np.asarray(obs.data_vars[v], np.float64)
+            if (
+                o.ndim == 3 and o.shape[1] and o.shape[2]
+                and H % o.shape[1] == 0 and W % o.shape[2] == 0
+                and (o.shape[1], o.shape[2]) != (H, W)
+            ):
+                up = upsample_observation(o, H, W)
+                b_psd = np.mean(
+                    [rapsd(up[t], d=d)[0] for t in range(up.shape[0])], axis=0
+                )
+                ax.loglog(freq[1:], b_psd[1:], "C3--", label="interp. obs")
         ax.set_title(v)
         ax.set_xlabel("wavenumber [1/km]")
         ax.legend()
@@ -400,7 +419,7 @@ KINDS = {
     "storm_grid": storm_grid,
     "climate_grid": climate_grid,
     "big_grid": lambda s, g, o, d: big_grid(s, g, d),
-    "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d),
+    "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d, obs=o),
     "windpower": lambda s, g, o, d: windpowers(s, g, d),
     "windpower_dist": lambda s, g, o, d: windpower_dist(s, g, d),
 }
