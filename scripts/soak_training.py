@@ -161,6 +161,10 @@ def main():
     ap.add_argument("--work-dir", default="/tmp/c2w_soak")
     ap.add_argument("--skip-reference-run", action="store_true",
                     help="skip the uninterrupted run (no loss-parity check)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted soak in --work-dir instead of "
+                    "wiping it (an externally-killed soak is itself a fault "
+                    "injection; the same bit-exact-resume assertions apply)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -176,7 +180,10 @@ def main():
 
     # --- uninterrupted reference run -------------------------------------
     ref_dir = work / "runs" / "ref"
-    if not args.skip_reference_run:
+    ref_done = args.resume and max(read_losses(ref_dir), default=0) >= total
+    if ref_done:
+        print(f"resume: reference run already complete in {ref_dir}")
+    if not args.skip_reference_run and not ref_done:
         if ref_dir.exists():
             shutil.rmtree(ref_dir)
         cmd, env = train_cmd(work / "runs", "ref", h5, str(total), args.batch,
@@ -188,8 +195,12 @@ def main():
 
     # --- chained + killed run --------------------------------------------
     soak_dir = work / "runs" / "soak"
-    if soak_dir.exists():
+    if soak_dir.exists() and not args.resume:
         shutil.rmtree(soak_dir)
+    if args.resume:
+        prior = max(read_losses(soak_dir), default=0)
+        results["resumed_at_ndata"] = prior
+        print(f"resume: continuing soak from {prior} / {total} ndata")
     n_starts = 0
     t0 = time.time()
     while True:
