@@ -176,14 +176,17 @@ def read_zarr(path: str, data_vars: Optional[Sequence[str]] = None):
         time = _decode_cf_time(tvals, units) if units else np.asarray(tvals, _NS)
     else:
         # stores without a time coordinate get an index axis, mirroring the
-        # rlat/rlon fallback below
+        # rlat/rlon fallback below; only 3-D [T,H,W] arrays define the time
+        # length (the data_vars loop skips non-3-D auxiliaries the same way)
         tlen = 0
         for n in names:
             if n not in coord_names:
                 arr_meta = os.path.join(path, n, ".zarray")
                 with open(arr_meta) as f:
-                    tlen = json.load(f)["shape"][0]
-                break
+                    shape = json.load(f)["shape"]
+                if len(shape) == 3:
+                    tlen = shape[0]
+                    break
         time = np.arange(tlen, dtype=np.int64).astype(_NS)
     coords: Dict[str, np.ndarray] = {"time": time}
     for c in ("rlat", "rlon"):

@@ -101,6 +101,8 @@ def sample(
     if denoise_final:
         eps = score_fn(x, jnp.asarray(0.0, jnp.float32))
         x = process.denoise(x, 0.0, eps)
+        if proc_x0 is not None:  # long/host final denoise applies it too
+            x = proc_x0(x)
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
     return x, nan_flag
 
@@ -201,6 +203,8 @@ def sample_dpmpp2m(
     if denoise_final:
         eps = score_fn(x, jnp.asarray(0.0, jnp.float32))
         x = process.denoise(x, 0.0, eps)
+        if proc_x0 is not None:  # long/host final denoise applies it too
+            x = proc_x0(x)
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
     return x, nan_flag
 

@@ -59,6 +59,8 @@ def run(
     num_hours: int = 49,
     num_samples: int = 30,
     num_sampling_steps: int = 256,
+    corrections: int = 0,
+    correction_tau: float = 0.5,
     ensemble_batch: int = 3,
     batch_size: int = 128,
     t_step: int = 6,
@@ -84,8 +86,8 @@ def run(
         data_norm_mode="quant95",
         data_vars=list(data_vars),
         num_sampling_steps=int(num_sampling_steps),
-        num_corrections=0,
-        correction_tau=0.5,
+        num_corrections=int(corrections),
+        correction_tau=float(correction_tau),
         t_step=int(t_step),
         s_step=int(s_step),
         batch_size=int(batch_size),
@@ -154,7 +156,9 @@ def run(
         f"samples, {num_sampling_steps} steps, s_step={s_step}, "
         f"t_step={t_step} (reference on-model-eval protocol, "
         "exp/configs/000_on-model-eval/s16_t6.yml"
-        + (", final-denoise" if denoise_final else "") + ")",
+        + (", final-denoise" if denoise_final else "")
+        + (f", {corrections} Langevin correction(s) tau={correction_tau}"
+           if corrections else "") + ")",
         f"- metrics protocol: observation time grid, gt-standardized "
         f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
         "(reference exp/metrics.py:219-296)",
@@ -198,6 +202,9 @@ def main():
     @click.option("--num-hours", default=49, type=int)
     @click.option("--num-samples", default=30, type=int)
     @click.option("--num-sampling-steps", default=256, type=int)
+    @click.option("--corrections", default=0, type=int,
+                  help="Langevin corrector steps per predictor step")
+    @click.option("--correction-tau", default=0.5, type=float)
     @click.option("--ensemble-batch", default=3, type=int)
     @click.option("--uncond-samples", default=None, type=int)
     @click.option("--seed", default=0, type=int)

@@ -221,7 +221,10 @@ def rapsd_figure(
                 and H % o.shape[1] == 0 and W % o.shape[2] == 0
                 and (o.shape[1], o.shape[2]) != (H, W)
             ):
-                up = upsample_observation(o, H, W)
+                # ≤16 evenly spaced frames, matching the gt/sample t_idx
+                # protocol (and bounding the FFT work at year scale)
+                o_idx = np.linspace(0, o.shape[0] - 1, min(o.shape[0], 16))
+                up = upsample_observation(o[o_idx.astype(int)], H, W)
                 b_psd = np.mean(
                     [rapsd(up[t], d=d)[0] for t in range(up.shape[0])], axis=0
                 )

@@ -110,8 +110,8 @@ def build_score_unet(
 ) -> ScoreUNet:
     """Construct a ScoreUNet from a config dict (the sda_unet.yml surface).
 
-    Accepted keys: channels, embedding_dim, hidden_channels, hidden_blocks,
-    attention_levels, kernel_size, forcing_dim.  Unknown torch-only keys
+    Accepted keys: channels, embedding_dim, noise_features, hidden_channels,
+    hidden_blocks, attention_levels, kernel_size, forcing_dim.  Unknown torch-only keys
     (padding_mode, spatial, activation) are ignored for compatibility with
     reference YAMLs (configs/sda_unet.yml).
 
@@ -128,6 +128,7 @@ def build_score_unet(
     return ScoreUNet(
         channels=int(cfg["channels"]),
         embedding_dim=int(cfg.get("embedding_dim", 512)),
+        noise_features=int(cfg.get("noise_features", 32)),
         forcing_dim=int(cfg.get("forcing_dim", 0)),
         hidden_channels=tuple(cfg.get("hidden_channels", (32, 64, 128))),
         hidden_blocks=tuple(cfg.get("hidden_blocks", (2, 3, 5))),

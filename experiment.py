@@ -86,10 +86,16 @@ def figures(kind, exp_dir, out_dir, compare):
 @click.option("--num-hours", default=49, type=int, show_default=True)
 @click.option("--num-samples", default=30, type=int, show_default=True)
 @click.option("--num-sampling-steps", default=256, type=int, show_default=True)
+@click.option("--corrections", default=0, type=int, show_default=True,
+              help="Langevin corrector steps per predictor step")
+@click.option("--correction-tau", default=0.5, type=float, show_default=True)
 @click.option("--ensemble-batch", default=3, type=int, show_default=True)
 @click.option("--uncond-samples", default=None, type=int)
 @click.option("--seed", default=0, type=int, show_default=True)
 @click.option("--skip-figures", is_flag=True)
+@click.option("--denoise-final", is_flag=True,
+              help="extra score pass at t=0 removes the sigma(0)=eta "
+                   "residual noise floor from every sample")
 def fidelity(**kw):
     """Statistical acceptance: guided + unconditional ensembles, W2/MELR/SSIM
     for both, figures, and a FIDELITY.md table (exp/fidelity.py)."""

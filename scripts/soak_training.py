@@ -16,8 +16,8 @@ HARD KILLS (SIGKILL mid-slice), and asserts the recovery contract:
 Usage (CPU smoke, ~5 min):
   python scripts/soak_training.py --total 64Ki --slices 4 --platform cpu
 
-Production soak (TPU, 50Mi+, ~1 h):
-  python scripts/soak_training.py --total 50Mi --slices 12 --kill-every 3
+Production soak (TPU, 50Mi+, ~2.5 h incl. the uninterrupted parity run):
+  python scripts/soak_training.py --total 50Mi --slices 16 --kill-every 3
 
 Writes SOAK.json in the run dir with the assertion results.
 """
@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import pathlib
 import shutil
@@ -79,16 +80,20 @@ def train_cmd(run_dir, run_id, h5, total, batch, slice_data=None, platform=None)
     # checkpoints every few steps so kills always have something to resume
     # from, while a 50Mi production soak would drown in 51k checkpoint
     # writes (and a log callback every 2 steps stalls dispatch on the
-    # 1-core host). All intervals must divide batch (loop.py asserts).
+    # 1-core host). loop.py asserts every interval is a multiple of batch,
+    # and checkpoint/snapshot additionally a multiple of 1024.
     total_nd = int(total)
     slice_nd = int(slice_data) if slice_data else total_nd
 
-    def _round_to_batch(n):
-        return max(batch, (n // batch) * batch)
+    def _round_to(n, quantum):
+        return max(quantum, (n // quantum) * quantum)
 
-    checkpoint = _round_to_batch(min(slice_nd // 4, max(4 * batch, total_nd // 256)))
-    logging = _round_to_batch(max(2 * batch, total_nd // 256))
-    status = _round_to_batch(max(16 << 10, total_nd // 64))
+    ckpt_quantum = batch * 1024 // math.gcd(batch, 1024)
+    checkpoint = _round_to(
+        min(slice_nd // 4, max(4 * batch, total_nd // 256)), ckpt_quantum
+    )
+    logging = _round_to(max(2 * batch, total_nd // 256), batch)
+    status = _round_to(max(16 << 10, total_nd // 64), batch)
     cmd = [
         sys.executable, str(REPO / "train.py"),
         "--run-dir", str(run_dir), "--run-id", run_id,
@@ -127,7 +132,10 @@ def read_losses(run_dir: pathlib.Path) -> dict:
         except json.JSONDecodeError:
             continue
         if "train/loss" in rec:
-            key = rec.get("train/ndata", rec["train/kdata"] * 1024)
+            # loop.py logs kdata = ndata // 1000 (lossy); exact train/ndata is
+            # present on every record this harness writes — the fallback only
+            # serves legacy logs and can collide at adjacent log points.
+            key = rec.get("train/ndata", rec["train/kdata"] * 1000)
             out.setdefault(key, []).append(rec["train/loss"])
     return out
 
@@ -172,8 +180,11 @@ def main():
 
     work = pathlib.Path(args.work_dir)
     total = parse_ndata(args.total)
-    slice_nd = total // args.slices
-    assert slice_nd % args.batch == 0, "slice size must divide batch"
+    # per-start data budget; rounded down so batch divides it (loop.py
+    # asserts) — the loop below chains starts until total is reached, so
+    # rounding only shifts slice boundaries, not coverage.
+    slice_nd = (total // args.slices // args.batch) * args.batch
+    assert slice_nd > 0, "--slices too large for --total at this --batch"
     h5 = build_data(work / "data")
 
     results = {"total_ndata": total, "slices": args.slices, "restarts": []}

@@ -67,6 +67,28 @@ def test_proc_x0_hook(rng):
     assert float(jnp.max(jnp.abs(out))) <= 1.5 + 1e-5
 
 
+def test_denoise_final_applies_proc_x0(rng):
+    """The final posterior-mean pass must run through proc_x0 exactly like
+    every in-loop x0 estimate (the long/host samplers do; short samplers
+    must match — r3 review finding)."""
+    from climate2weather_tpu.diffusion.sampler import sample_dpmpp2m
+
+    proc = VPCosineProcess()
+    c = 3.0  # point mass OUTSIDE the clamp: x0 -> c, clamp pins it to 1.5
+
+    def score_fn(x, t):
+        return (x - proc.mu(t) * c) / proc.sigma(t)
+
+    noise = jax.random.normal(rng, (64,))
+    clamp = lambda x0: jnp.clip(x0, -1.5, 1.5)
+    for fn in (sample, sample_dpmpp2m):
+        den, nan = fn(
+            proc, score_fn, noise, steps=8, proc_x0=clamp, denoise_final=True
+        )
+        assert not bool(nan)
+        assert float(jnp.max(jnp.abs(den))) <= 1.5 + 1e-5, fn.__name__
+
+
 def test_denoise_final_removes_eta_floor(rng):
     """With the exact score of a point mass at c — eps(x,t) = (x - mu c) /
     sigma — the default sampler ends at x = c + eta * eps_pred (the
