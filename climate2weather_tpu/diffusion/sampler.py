@@ -44,6 +44,14 @@ def sample(
     bool; callers should raise on it after device sync (reference raises
     mid-sampling, src/thor/pipelines.py:90-91).
 
+    Corrector bias note: the adaptive Langevin corrector (reference
+    src/thor/pipelines.py:81-88, formulas in steprules.py) is unadjusted
+    Euler-Maruyama, whose stationary variance overshoots the target by
+    ~1/(1 - tau/2): +15% std at the reference's tau=0.5 (measured +12% on
+    the analytic N(0,I) case), i.e. each corrector step injects broadband
+    noise.  This is why the reference's tuned production configs ship
+    ``num_corrections: 0``; use tau <= ~0.1 if enabling corrections.
+
     ``denoise_final`` adds one extra score evaluation at t=0 and returns the
     posterior-mean estimate ``x - eta * eps`` instead of the re-noised state.
     The reference schedule ends at sigma(0) = eta = 1e-3

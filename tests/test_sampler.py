@@ -57,6 +57,31 @@ def test_corrector_changes_result_deterministically(rng):
     assert not np.allclose(np.asarray(a1), np.asarray(b))  # corrector acts
 
 
+def test_corrector_variance_inflation_matches_theory(rng):
+    """The unadjusted Langevin corrector's stationary std overshoots by
+    ~1/sqrt(1 - tau/2) (no Metropolis correction — reference parity,
+    src/thor/pipelines.py:81-88).  With the exact N(0, I) score, tau=0.5
+    must inflate sample std measurably (the reason production configs ship
+    num_corrections: 0) while tau=0.05 stays within a few percent."""
+    proc = VPCosineProcess()
+
+    def score_fn(x, t):
+        mu, sigma = proc.mu(t), proc.sigma(t)
+        return sigma * x / (mu**2 + sigma**2)
+
+    noise = jax.random.normal(rng, (8192,))
+    key = jax.random.PRNGKey(1)
+    std = {}
+    for tau in (0.5, 0.05):
+        out, nan = sample(
+            proc, score_fn, noise, steps=64, corrections=1, tau=tau, rng=key
+        )
+        assert not bool(nan)
+        std[tau] = float(jnp.std(out))
+    assert 1.06 < std[0.5] < 1.20, std  # theory: ~1.15 at full mixing
+    assert abs(std[0.05] - 1.0) < 0.05, std
+
+
 def test_proc_x0_hook(rng):
     proc = VPCosineProcess()
     score_fn = lambda x, t: jnp.zeros_like(x)
