@@ -119,6 +119,10 @@ def nchw_window_pass(
     B = int(chunk_size)
     L, C, H, W = x.shape
     n = L - w + 1
+    assert n >= 1, (
+        f"trajectory length {L} is shorter than the score window {w} "
+        f"(markov_order={k}); use the short sampler for L < 2k+1"
+    )
     if n < B:
         B = n
     n_chunks = -(-n // B)
@@ -255,6 +259,68 @@ def _exact_guided_eps_nchw(
     return eps - (sigma * grad).astype(eps.dtype)
 
 
+def _make_guided_eps_and_err(
+    guidance, process, eps_apply, markov_order, chunk_size, window_sharding
+):
+    """Build ``(params, x, t) -> (eps, err)``: exact mode folds guidance into
+    eps via autodiff; detached mode returns the obs-space error for lazy
+    chunked fusion.  The single home of the dispatch both long samplers
+    share (predictor, corrector, and final denoise all consume it)."""
+    exact = guidance is not None and guidance.exact_grad
+
+    def guided_eps_and_err(params_, x, t):
+        if exact:
+            return _exact_guided_eps_nchw(
+                guidance, process, eps_apply, markov_order, chunk_size,
+                window_sharding, params_, x, t,
+            ), None
+        eps = nchw_window_pass(
+            eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
+        )
+        err = (
+            _obs_err_nchw(guidance, process, x, eps, t)
+            if guidance is not None
+            else None
+        )
+        return eps, err
+
+    return guided_eps_and_err
+
+
+def _make_final_denoise(
+    guided_eps_and_err, guidance, process, proc_x0, F, L, n_fchunks
+):
+    """Build the shared guided t=0 posterior-mean pass (``denoise_final``):
+    one extra score evaluation, chunked over frames, with ``proc_x0``
+    applied to every x0 estimate exactly like the in-loop updates
+    (sampler.sample parity)."""
+
+    def final_denoise(params_, x):
+        t0 = jnp.asarray(0.0, jnp.float32)
+        eps, err = guided_eps_and_err(params_, x, t0)
+        mu = process.mu(t0)
+        sigma = process.sigma(t0)
+
+        def body(out, ci):
+            f0 = jnp.minimum(ci * F, L - F)
+            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
+            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
+            eg = _guided_eps_chunk_nchw(
+                guidance if err is not None else None, process, e_c, err, f0, t0
+            )
+            x0 = steprules.predict_x0(
+                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
+            )
+            if proc_x0 is not None:
+                x0 = proc_x0(x0)
+            return jax.lax.dynamic_update_slice_in_dim(out, x0, f0, 0), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros_like(x), jnp.arange(n_fchunks))
+        return out
+
+    return final_denoise
+
+
 def _stepwise_drive(run_chunk, carry, xs, k, total_steps, verbose):
     """Drive a scan in chunks of k leading-axis elements from Python.
 
@@ -326,8 +392,11 @@ def sample_guided_long(
     static configuration (schedule knobs, shapes, chunking, guidance
     arrays by identity), so calls with different configs coexist safely.
     """
-    exact = guidance is not None and guidance.exact_grad
     _check_obs_nchw(guidance, noise.shape)
+    if corrections > 0 and rng is None:
+        # sampler.sample parity: a silent PRNGKey(0) fallback would draw the
+        # corrector noise of every "independent" ensemble member identically
+        raise ValueError("corrections > 0 requires an rng key")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     L = noise.shape[0]
@@ -336,16 +405,12 @@ def sample_guided_long(
     dt = 1.0 / steps
     time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)[:-1]
 
-    def window_pass(params_, x, t):
-        return nchw_window_pass(
-            eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
-        )
-
-    def exact_guided_eps(params_, x, t):
-        return _exact_guided_eps_nchw(
-            guidance, process, eps_apply, markov_order, chunk_size,
-            window_sharding, params_, x, t,
-        )
+    guided_eps_and_err = _make_guided_eps_and_err(
+        guidance, process, eps_apply, markov_order, chunk_size, window_sharding
+    )
+    final_denoise = _make_final_denoise(
+        guided_eps_and_err, guidance, process, proc_x0, F, L, n_fchunks
+    )
 
     def frame_pass(x, eps, err, t, t2, delta=None, z_key=None):
         mu = process.mu(t)
@@ -405,15 +470,6 @@ def sample_guided_long(
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_fchunks))
         return acc
 
-    def guided_eps_and_err(params_, x, t):
-        """(eps, err): exact mode folds guidance into eps via autodiff;
-        detached mode returns the obs-space error for lazy chunked fusion."""
-        if exact:
-            return exact_guided_eps(params_, x, t), None
-        eps = window_pass(params_, x, t)
-        err = _obs_err_nchw(guidance, process, x, eps, t) if guidance else None
-        return eps, err
-
     def step(params_, carry, t):
         x, key, nan_flag = carry
         t2 = t - dt
@@ -431,29 +487,6 @@ def sample_guided_long(
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
         return (x, key, nan_flag), None
-
-    def final_denoise(params_, x):
-        t0 = jnp.asarray(0.0, jnp.float32)
-        eps, err = guided_eps_and_err(params_, x, t0)
-        mu = process.mu(t0)
-        sigma = process.sigma(t0)
-
-        def body(out, ci):
-            f0 = jnp.minimum(ci * F, L - F)
-            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
-            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
-            eg = _guided_eps_chunk_nchw(
-                guidance if err is not None else None, process, e_c, err, f0, t0
-            )
-            x0 = steprules.predict_x0(
-                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
-            )
-            if proc_x0 is not None:
-                x0 = proc_x0(x0)
-            return jax.lax.dynamic_update_slice_in_dim(out, x0, f0, 0), None
-
-        out, _ = jax.lax.scan(body, jnp.zeros_like(x), jnp.arange(n_fchunks))
-        return out
 
     init = (noise, rng, jnp.asarray(False))
     if steps_per_call is None:
@@ -533,7 +566,6 @@ def sample_dpmpp2m_long(
     ``traj_dtype=jnp.bfloat16`` to halve them (schedule math stays fp32;
     observation-space guidance is computed in fp32).
     """
-    exact = guidance is not None and guidance.exact_grad
     _check_obs_nchw(guidance, noise.shape)
     del rng
     from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
@@ -545,29 +577,17 @@ def sample_dpmpp2m_long(
     n_fchunks = -(-L // F)
     time_steps = logsnr_time_grid(process, steps)
 
-    def window_pass(params_, x, t):
-        return nchw_window_pass(
-            eps_apply, params_, x, t, markov_order, chunk_size, window_sharding
-        )
-
-    def exact_guided_eps(params_, x, t):
-        return _exact_guided_eps_nchw(
-            guidance, process, eps_apply, markov_order, chunk_size,
-            window_sharding, params_, x, t,
-        )
+    guided_eps_and_err = _make_guided_eps_and_err(
+        guidance, process, eps_apply, markov_order, chunk_size, window_sharding
+    )
+    final_denoise = _make_final_denoise(
+        guided_eps_and_err, guidance, process, proc_x0, F, L, n_fchunks
+    )
 
     def step(params_, carry, ts):
         x, prev_x0, prev_h, is_first, nan_flag = carry
         t_prev, t_cur = ts
-        if exact:
-            eps, err = exact_guided_eps(params_, x, t_prev), None
-        else:
-            eps = window_pass(params_, x, t_prev)
-            err = (
-                _obs_err_nchw(guidance, process, x, eps, t_prev)
-                if guidance is not None
-                else None
-            )
+        eps, err = guided_eps_and_err(params_, x, t_prev)
 
         mu = process.mu(t_prev)
         sigma = process.sigma(t_prev)
@@ -607,37 +627,6 @@ def sample_dpmpp2m_long(
         )
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x_new)))
         return (x_new, x0_buf, h, jnp.asarray(False), nan_flag), None
-
-    def final_denoise(params_, x):
-        t0 = jnp.asarray(0.0, jnp.float32)
-        if exact:
-            eps, err = exact_guided_eps(params_, x, t0), None
-        else:
-            eps = window_pass(params_, x, t0)
-            err = (
-                _obs_err_nchw(guidance, process, x, eps, t0)
-                if guidance is not None
-                else None
-            )
-        mu = process.mu(t0)
-        sigma = process.sigma(t0)
-
-        def body(out, ci):
-            f0 = jnp.minimum(ci * F, L - F)
-            x_c = jax.lax.dynamic_slice_in_dim(x, f0, F)
-            e_c = jax.lax.dynamic_slice_in_dim(eps, f0, F)
-            eg = _guided_eps_chunk_nchw(
-                guidance if err is not None else None, process, e_c, err, f0, t0
-            )
-            x0 = steprules.predict_x0(
-                x_c, eg, mu.astype(x_c.dtype), sigma.astype(x_c.dtype)
-            )
-            if proc_x0 is not None:
-                x0 = proc_x0(x0)
-            return jax.lax.dynamic_update_slice_in_dim(out, x0, f0, 0), None
-
-        out, _ = jax.lax.scan(body, jnp.zeros_like(x), jnp.arange(n_fchunks))
-        return out
 
     init = (
         noise,

@@ -297,6 +297,7 @@ def training_loop(
     prev_status_ndata = cur_ndata
     total_elapsed_time = 0.0
     losses_accum = []  # device scalars; synced only at log time
+    last_loss = None  # single live device scalar for the status-tick drain
     valid_markov_order = dataset_kwargs.train.window // 2
 
     # jitted once; params cross the boundary as an argument (closure capture
@@ -317,11 +318,11 @@ def training_loop(
             and (done or cur_ndata % status_ndata == 0)
             and (cur_ndata != start_ndata or start_ndata == 0)
         ):
-            if losses_accum:
+            if last_loss is not None:
                 # drain the async dispatch queue so sec/tick measures device
                 # time, not enqueue time (device_get: block_until_ready is a
                 # no-op under remote-relay execution)
-                jax.device_get(losses_accum[-1])
+                jax.device_get(last_loss)
             cur_time = time.time()
             total_elapsed_time += cur_time - prev_status_time
             denom = max(cur_ndata - prev_status_ndata, 1)
@@ -351,7 +352,10 @@ def training_loop(
         # serialize+disk write goes to the writer thread.
         if (
             snapshot_ndata is not None
-            and cur_ndata % snapshot_ndata == 0
+            # `done or`: the final EMA snapshot must be written even when the
+            # stop point is not a snapshot_ndata multiple (checkpoint/status/
+            # log have the same clause)
+            and (done or cur_ndata % snapshot_ndata == 0)
             and cur_ndata != start_ndata
             and jax.process_index() == 0
         ):
@@ -374,6 +378,7 @@ def training_loop(
         # ---- validation sampling (training_loop.py:270-325)
         if (
             valid_ndata is not None
+            and logger is not None  # results are only consumed by the logger
             and cur_ndata % valid_ndata == 0
             and (cur_ndata != start_ndata or start_ndata == 0)
             and jax.process_index() == 0
@@ -509,7 +514,11 @@ def training_loop(
             else:
                 batch = jax.device_put(batch, bsh)
             state, loss = train_step(state, batch, step_rng)
-        losses_accum.append(loss)  # async; no host sync in the hot loop
+        last_loss = loss
+        if log_ndata is not None:  # only the log block drains the list —
+            # appending with logging disabled would grow device buffers
+            # without bound on long runs
+            losses_accum.append(loss)  # async; no host sync in the hot loop
         cur_ndata += batch_size
 
     writer.close()

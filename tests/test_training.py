@@ -140,6 +140,59 @@ def test_train_step_accumulation_matches_big_batch(tiny_net):
     )
 
 
+@pytest.mark.slow
+def test_final_snapshot_written_at_nonaligned_stop(tiny_h5, tmp_path):
+    """The final EMA snapshot must be written when training stops at a point
+    that is NOT a snapshot_ndata multiple (the checkpoint path already had
+    the `done or` clause; the snapshot path was missing it — r3 review)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from climate2weather_tpu.training.loop import training_loop
+    from climate2weather_tpu.utils.easydict import EasyDict
+    from climate2weather_tpu.utils.logging import RunLogger
+
+    path, _ = tiny_h5
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    window = 3
+    training_loop(
+        run_dir,
+        dataset_kwargs=EasyDict(
+            train=EasyDict(
+                class_name="cosmo_dataset", data_path=path, num_features=2,
+                spatial_res=16, cached=True, window=window, flatten=True,
+            )
+        ),
+        network_kwargs=dict(
+            channels=2 * window, embedding_dim=16, hidden_channels=(8,),
+            hidden_blocks=(1,), attention_levels=(),
+        ),
+        pipeline_kwargs=dict(class_name="vp_cosine"),
+        optimizer_kwargs=dict(lr=1e-3, weight_decay=1e-3),
+        lr_kwargs=dict(func_name="lr/linear", ref_lr=1e-3, total_ndata=3072),
+        batch_size=1024,
+        batch_gpu=None,
+        total_ndata=3072,  # NOT a multiple of snapshot_ndata=2048
+        log_ndata=None,
+        status_ndata=None,
+        snapshot_ndata=2048,
+        checkpoint_ndata=None,
+        valid_ndata=None,
+        seed=0,
+        logger=RunLogger(run_dir, enabled=False),
+        compute_dtype=jnp.float32,
+        loader_threads=1,
+    )
+    snaps = sorted(
+        d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")
+    )
+    # interval snapshot at 2048 (kdata 2) AND final snapshot at 3072 (kdata 3)
+    assert any("-0000002-" in s for s in snaps), snaps
+    assert any("-0000003-" in s for s in snaps), snaps
+
+
 def test_prefetch_loader_deterministic_order(tiny_h5):
     """Multi-threaded prefetch must yield batches in exact sampler order
     (reference DataLoader is order-preserving), making ndata-resume
