@@ -239,14 +239,14 @@ def sandwich(
 ) -> np.ndarray:
     """RGB composite of several normalized fields (reference
     plotting_util.py:483): multiply colormapped layers."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     cmaps = cmaps or ["Blues", "Reds", "Greens"][: len(fields)]
     rgb = np.ones(fields[0].shape + (3,))
     for f, name in zip(fields, cmaps):
         lo, hi = np.nanmin(f), np.nanmax(f)
         norm = (f - lo) / max(hi - lo, 1e-12)
-        layer = cm.get_cmap(name)(norm)[..., :3]
+        layer = matplotlib.colormaps[name](norm)[..., :3]
         rgb *= layer
     return np.clip(rgb, 0, 1)
 
