@@ -87,10 +87,10 @@ def transform_weights(kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def _channel_norm_val(x, eps: float, ddof: int):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True, ddof=ddof)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    # single source of truth for the norm the fused op must match exactly
+    from climate2weather_tpu.models.unet import channel_norm
+
+    return channel_norm(x, eps=eps, ddof=ddof)
 
 
 def _wino_kernel(
@@ -231,9 +231,9 @@ def _wino_call(x, u, bias2d, vec3d, res, *, pre, ddof, interpret):
     n, h, w, c = x.shape
     o = u.shape[-1]
     ty = _pick_ty(h)
-    if res is not None and ty > 1:
+    if res is not None and ty == 8:
         # the extra residual block operand pushes the TY=8 working set just
-        # past the 16 MB VMEM limit — halve the row-block
+        # past the 16 MB VMEM limit — halve the row-block (smaller TYs fit)
         ty //= 2
     rb = 2 * ty
     nb = h // rb
@@ -364,9 +364,11 @@ winograd_conv3x3.defvjp(_wino_fwd, _wino_bwd)
 
 def winograd_eligible(x_shape, kernel_size, strides, spatial) -> bool:
     """The kernel covers stride-1 SAME 3x3 2-D convs with even H and W."""
-    if spatial != 2 or kernel_size != 3:
+    if spatial != 2 or kernel_size not in (3, (3, 3)):
         return False
-    if strides not in (None, 1, (1, 1)):
-        return False
+    if strides is not None:
+        s = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        if s != (1, 1):
+            return False
     _, h, w, _ = x_shape
     return h % 2 == 0 and w % 2 == 0

@@ -91,9 +91,29 @@ def test_weight_transform_identity():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_bf16_error_bound():
+    """bf16 inputs: the extra transform roundings must stay within a few ulp
+    of the direct bf16 XLA conv (the dtype the production UNet runs in)."""
+    x, k, b, _ = _mk(n=2, h=32, w=16, c=32, o=32, seed=3)
+    xb = x.astype(jnp.bfloat16)
+    out = W.winograd_conv3x3(xb, k, b, None, None, None, 0, True)
+    assert out.dtype == jnp.bfloat16
+    ref = W._conv_ref(xb, k, b).astype(jnp.float32)
+    exact = W._conv_ref(x, k, b)
+    wino_err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - exact)))
+    conv_err = float(jnp.max(jnp.abs(ref - exact)))
+    # winograd-bf16 may be at most ~4x the direct conv's own bf16 rounding
+    assert wino_err <= 4.0 * conv_err + 1e-6, (wino_err, conv_err)
+
+
 def test_eligibility():
     assert W.winograd_eligible((2, 16, 8, 4), 3, (1, 1), 2)
+    # the tuple/list forms the UNet call sites actually construct
+    assert W.winograd_eligible((2, 16, 8, 4), (3, 3), [1, 1], 2)
+    assert W.winograd_eligible((2, 16, 8, 4), 3, None, 2)
+    assert W.winograd_eligible((2, 16, 8, 4), 3, 1, 2)
     assert not W.winograd_eligible((2, 15, 8, 4), 3, (1, 1), 2)  # odd H
     assert not W.winograd_eligible((2, 16, 8, 4), 3, (2, 2), 2)  # strided
+    assert not W.winograd_eligible((2, 16, 8, 4), 3, 2, 2)  # strided int
     assert not W.winograd_eligible((2, 16, 8, 4), 5, (1, 1), 2)  # 5x5
     assert not W.winograd_eligible((2, 16, 8, 4), 3, (1, 1), 3)  # 3-D
