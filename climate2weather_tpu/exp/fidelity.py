@@ -166,12 +166,14 @@ def run(
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
     ]
-    for kind in ("wasserstein", "melr", "ssim"):
-        for v in sorted(m_guided[kind]):
+    for kind in ("wasserstein", "melr", "ssim", "crps", "spread_skill",
+                 "rank_reliability"):
+        for v in sorted(m_guided.get(kind, {})):
             bl = m_guided[kind][v].get("interp_baseline")
+            uc = m_uncond.get(kind, {}).get(v, {}).get("global")
             lines.append(
                 f"| {kind} | {v} | {_fmt(m_guided[kind][v]['global'])} "
-                f"| {_fmt(m_uncond[kind][v]['global'])} "
+                f"| {_fmt(uc) if uc is not None else 'n/a'} "
                 f"| {_fmt(bl) if bl is not None else 'n/a'} |"
             )
     lines += [

@@ -23,6 +23,11 @@ definitions:
 
 All metrics are computed per variable over sample ensembles on the
 observation time grid (exp/metrics.py:233-240).
+
+Beyond the reference's three metrics, standard ensemble-calibration scores
+are included (fair CRPS, spread/skill ratio, rank-histogram reliability
+index) — the forecast-verification measures behind the paper's probabilistic
+claims (SURVEY.md §7 step 7).
 """
 
 from __future__ import annotations
@@ -285,6 +290,103 @@ def ssim_ensemble(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarra
 
 
 # ---------------------------------------------------------------------------
+# Ensemble calibration: CRPS, spread-skill, rank histogram
+#
+# The reference repo scores W2/MELR/SSIM only (exp/metrics.py:219-296); the
+# paper's probabilistic claims additionally rest on ensemble calibration,
+# which these standard forecast-verification metrics quantify (SURVEY.md §7
+# step 7 "paper-fidelity criteria").  All operate on the same stacked
+# [S, T, H, W] ensembles / [T, H, W] truth as the metrics above.
+
+
+def _mean_pairwise_absdiff(x: np.ndarray) -> np.ndarray:
+    """Mean |x_i - x_j| over the S(S-1) ordered pairs i != j along axis 0.
+
+    Uses the sorted-sum identity
+    ``sum_{i<j} (x_(j) - x_(i)) = sum_k (2k - S - 1) x_(k)`` (1-indexed k),
+    so cost is O(S log S) per point instead of O(S^2) memory.
+    """
+    S = x.shape[0]
+    assert S >= 2
+    xs = np.sort(np.asarray(x, np.float64), axis=0)
+    k = np.arange(1, S + 1, dtype=np.float64).reshape((S,) + (1,) * (x.ndim - 1))
+    return 2.0 * np.sum((2.0 * k - S - 1.0) * xs, axis=0) / (S * (S - 1))
+
+
+def crps_ensemble(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarray:
+    """Fair (unbiased) ensemble CRPS, spatially averaged, per time step.
+
+    ``CRPS = mean_s |x_s - y| - (1/2) * mean_{s != s'} |x_s - x_s'|``
+    (the fair estimator of Ferro 2014: with the 1/(S(S-1)) pair term the
+    expectation equals the CRPS of the underlying distribution for any
+    ensemble size).  For S = 1 the pair term vanishes and CRPS degenerates
+    to the MAE of the point forecast — used for the deterministic
+    interpolated-observation baseline.
+
+    ``sample_fields``: [S, T, H, W]; ``gt_fields``: [T, H, W].  Returns [T].
+    """
+    samples = np.asarray(sample_fields, np.float64)
+    gt = np.asarray(gt_fields, np.float64)
+    S, T = samples.shape[:2]
+    out = np.zeros(T)
+    for t in range(T):  # per-step to bound the fp64 working set
+        mae = np.mean(np.abs(samples[:, t] - gt[t][None]), axis=0)
+        if S > 1:
+            spread = _mean_pairwise_absdiff(samples[:, t])
+        else:
+            spread = 0.0
+        out[t] = float(np.mean(mae - 0.5 * spread))
+    return out
+
+
+def spread_skill_ratio(
+    sample_fields: np.ndarray, gt_fields: np.ndarray
+) -> np.ndarray:
+    """Spread/skill ratio per time step; ~1 for a calibrated ensemble.
+
+    skill = RMSE of the ensemble mean; spread = sqrt((S+1)/S * mean ensemble
+    variance) — the (S+1)/S factor makes E[skill^2] = E[spread^2] exact for a
+    perfectly reliable S-member ensemble (Fortin et al. 2014).  < 1 means
+    under-dispersion (overconfident ensemble), > 1 over-dispersion.
+    """
+    samples = np.asarray(sample_fields, np.float64)
+    gt = np.asarray(gt_fields, np.float64)
+    S, T = samples.shape[:2]
+    assert S >= 2, "spread requires an ensemble"
+    out = np.zeros(T)
+    for t in range(T):
+        mean = samples[:, t].mean(axis=0)
+        skill_sq = np.mean((mean - gt[t]) ** 2)
+        var = samples[:, t].var(axis=0, ddof=1)
+        spread_sq = (S + 1) / S * np.mean(var)
+        out[t] = float(np.sqrt(spread_sq / max(skill_sq, 1e-300)))
+    return out
+
+
+def rank_histogram(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarray:
+    """Counts of the truth's rank within the ensemble, over all (t, h, w).
+
+    Rank k = number of ensemble members strictly below the truth; a reliable
+    ensemble gives a flat histogram over the S+1 ranks.  Returns integer
+    counts [S + 1].  Ties (exact float equality) are credited to the lower
+    rank — negligible for continuous fields.
+    """
+    samples = np.asarray(sample_fields)
+    gt = np.asarray(gt_fields)
+    S = samples.shape[0]
+    ranks = (samples < gt[None]).sum(axis=0)  # [T, H, W] in 0..S
+    return np.bincount(ranks.ravel(), minlength=S + 1)
+
+
+def reliability_index(hist_counts: np.ndarray) -> float:
+    """Delta reliability index: sum_k |f_k - 1/(S+1)| over the normalized
+    rank histogram (Delle Monache et al. 2006).  0 = perfectly flat."""
+    counts = np.asarray(hist_counts, np.float64)
+    f = counts / counts.sum()
+    return float(np.abs(f - 1.0 / len(f)).sum())
+
+
+# ---------------------------------------------------------------------------
 # experiment driver
 
 
@@ -307,7 +409,14 @@ def run(exp_dir: str) -> dict:
     gt_on_obs = _sel_times(gt_ds, obs_times)
     feature_names = sorted(gt_ds.data_vars)
 
-    metrics: dict = {"wasserstein": {}, "melr": {}, "ssim": {}}
+    metrics: dict = {
+        "wasserstein": {},
+        "melr": {},
+        "ssim": {},
+        "crps": {},
+        "spread_skill": {},
+        "rank_reliability": {},
+    }
     rapsd_dir = out_dir / "rapsd"
     rapsd_dir.mkdir(exist_ok=True)
 
@@ -342,6 +451,21 @@ def run(exp_dir: str) -> dict:
         }
         metrics["ssim"][v] = {"global": ssim_ensemble(samples, gt_da)}
 
+        # Calibration metrics (computed on gt-standardized fields so CRPS is
+        # comparable across variables, like the W2 protocol above).
+        samples_std = (samples - gtmean) / gtstd
+        gt_std = (np.asarray(gt_da) - gtmean) / gtstd
+        metrics["crps"][v] = {"global": crps_ensemble(samples_std, gt_std)}
+        if samples.shape[0] >= 2:
+            metrics["spread_skill"][v] = {
+                "global": spread_skill_ratio(samples_std, gt_std)
+            }
+            hist = rank_histogram(samples, gt_da)
+            np.savez(save_path / f"{v}_rank_hist.npz", counts=hist)
+            metrics["rank_reliability"][v] = {
+                "global": np.array([reliability_index(hist)])
+            }
+
         # Interpolated-observation baseline: the no-model downscaling the
         # ensemble must beat. Its MELR exposes the spectral gain — bilinear
         # upsampling has no power above the obs Nyquist, the guided ensemble
@@ -367,10 +491,14 @@ def run(exp_dir: str) -> dict:
                 rb["sample_rapsd_over_time"], rb["gt_rapsd_over_time"]
             )
             metrics["ssim"][v]["interp_baseline"] = ssim_ensemble(base, gt_da)
+            # deterministic forecast: fair CRPS degenerates to its MAE
+            metrics["crps"][v]["interp_baseline"] = crps_ensemble(
+                (base - gtmean) / gtstd, gt_std
+            )
 
     for metrictype in metrics:
         for var in feature_names:
-            for k, val in metrics[metrictype][var].items():
+            for k, val in metrics[metrictype].get(var, {}).items():
                 print(
                     f"{metrictype} {var} {k}: "
                     f"{np.mean(val):.4f} \\pm {np.std(val):.4f}"

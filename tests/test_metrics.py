@@ -126,3 +126,97 @@ def test_interp_baseline_melr_exceeds_ensemble_melr():
     m_s = melr(r_s["sample_rapsd_over_time"], r_s["gt_rapsd_over_time"])
     m_b = melr(r_b["sample_rapsd_over_time"], r_b["gt_rapsd_over_time"])
     assert m_b.mean() > 3 * m_s.mean(), (m_b, m_s)
+
+
+# ---------------------------------------------------------------------------
+# calibration metrics
+
+
+def test_pairwise_absdiff_sorted_identity_matches_bruteforce():
+    from climate2weather_tpu.exp.metrics import _mean_pairwise_absdiff
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(9, 5, 3)
+    got = _mean_pairwise_absdiff(x)
+    S = x.shape[0]
+    brute = np.zeros(x.shape[1:])
+    for i in range(S):
+        for j in range(S):
+            if i != j:
+                brute += np.abs(x[i] - x[j])
+    brute /= S * (S - 1)
+    np.testing.assert_allclose(got, brute, rtol=1e-12)
+
+
+def test_crps_gaussian_matches_closed_form():
+    """Fair CRPS of a large N(0,1) ensemble vs the analytic Gaussian CRPS
+    sigma * [z(2*Phi(z)-1) + 2*phi(z) - 1/sqrt(pi)]."""
+    from math import erf, pi, sqrt
+
+    from climate2weather_tpu.exp.metrics import crps_ensemble
+
+    rng = np.random.RandomState(0)
+    H = W = 48
+    y = rng.uniform(-2.0, 2.0, size=(1, H, W))
+    samples = rng.randn(512, 1, H, W)
+    got = crps_ensemble(samples, y)[0]
+
+    z = y[0]
+    Phi = 0.5 * (1.0 + np.vectorize(erf)(z / sqrt(2.0)))
+    phi = np.exp(-0.5 * z**2) / sqrt(2.0 * pi)
+    analytic = (z * (2.0 * Phi - 1.0) + 2.0 * phi - 1.0 / sqrt(pi)).mean()
+    np.testing.assert_allclose(got, analytic, rtol=0.02)
+
+
+def test_crps_deterministic_degenerates_to_mae():
+    from climate2weather_tpu.exp.metrics import crps_ensemble
+
+    rng = np.random.RandomState(3)
+    gt = rng.randn(4, 8, 8)
+    fc = gt + rng.randn(4, 8, 8) * 0.5
+    got = crps_ensemble(fc[None], gt)
+    mae = np.abs(fc - gt).mean(axis=(1, 2))
+    np.testing.assert_allclose(got, mae, rtol=1e-12)
+
+
+def test_crps_rewards_sharp_correct_ensembles():
+    from climate2weather_tpu.exp.metrics import crps_ensemble
+
+    rng = np.random.RandomState(5)
+    gt = np.zeros((2, 16, 16))
+    tight = rng.randn(24, 2, 16, 16) * 0.1
+    loose = rng.randn(24, 2, 16, 16) * 2.0
+    assert crps_ensemble(tight, gt).mean() < crps_ensemble(loose, gt).mean()
+
+
+def test_spread_skill_near_one_for_calibrated_ensemble():
+    from climate2weather_tpu.exp.metrics import spread_skill_ratio
+
+    rng = np.random.RandomState(11)
+    S, T, H, W = 20, 3, 64, 64
+    samples = rng.randn(S, T, H, W)
+    gt = rng.randn(T, H, W)  # truth is one more exchangeable draw
+    ratio = spread_skill_ratio(samples, gt)
+    assert np.all(np.abs(ratio - 1.0) < 0.06), ratio
+    # overconfident ensemble: spread shrinks, skill doesn't
+    assert spread_skill_ratio(samples * 0.3, gt).mean() < 0.5
+
+
+def test_rank_histogram_flat_iff_exchangeable():
+    from climate2weather_tpu.exp.metrics import (
+        rank_histogram,
+        reliability_index,
+    )
+
+    rng = np.random.RandomState(2)
+    S, T, H, W = 10, 2, 64, 64
+    samples = rng.randn(S, T, H, W)
+    gt = rng.randn(T, H, W)
+    hist = rank_histogram(samples, gt)
+    assert hist.shape == (S + 1,)
+    assert hist.sum() == T * H * W
+    assert reliability_index(hist) < 0.08
+    # biased truth piles up in the top rank
+    hist_biased = rank_histogram(samples, gt + 4.0)
+    assert hist_biased[-1] > 0.95 * hist_biased.sum()
+    assert reliability_index(hist_biased) > 1.0
