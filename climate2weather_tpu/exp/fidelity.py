@@ -140,7 +140,7 @@ def run(
 
     if not skip_figures:
         fig_kinds = ("kde_and_pmf", "rapsd", "timeseries", "storm_grid",
-                     "windpower_dist", "climate_grid")
+                     "windpower_dist", "climate_grid", "calibration")
         for kind in fig_kinds:
             try:
                 figures.make(kind, str(guided_dir))

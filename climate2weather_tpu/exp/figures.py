@@ -239,6 +239,69 @@ def rapsd_figure(
     return path
 
 
+def calibration(
+    samples: List[GridDataset], gt: GridDataset, out_dir: str,
+    obs: Optional[GridDataset] = None,
+) -> str:
+    """Ensemble-calibration panel: rank histogram (top) and spread/skill
+    ratio over comparison times (bottom), per variable.
+
+    Visualizes the calibration metrics of exp/metrics.py (fair CRPS's
+    companions): a reliable ensemble has a flat rank histogram and a
+    spread/skill ratio of 1 (dashed lines).  Comparison happens on the
+    observation time grid when an observation is present, matching the
+    metrics protocol (reference exp/metrics.py:233-240)."""
+    from climate2weather_tpu.exp.metrics import (
+        _sel_times,
+        rank_histogram,
+        reliability_index,
+        spread_skill_ratio,
+    )
+
+    plt = _plt()
+    names = gt.var_names()
+    if obs is not None:
+        times = obs.time[np.isin(obs.time, gt.time)]
+        gt_cmp = _sel_times(gt, times)
+        samples_cmp = [_sel_times(s, times) for s in samples]
+    else:
+        gt_cmp, samples_cmp = gt, list(samples)
+
+    fig, axes = plt.subplots(2, len(names), figsize=(3.2 * len(names), 5.4))
+    axes = np.asarray(axes).reshape(2, -1)
+    for j, v in enumerate(names):
+        gt_np = np.asarray(gt_cmp.data_vars[v], np.float64)
+        ens = np.stack(
+            [np.asarray(s.data_vars[v], np.float64) for s in samples_cmp]
+        )
+        S = ens.shape[0]
+
+        hist = rank_histogram(ens, gt_np)
+        freq = hist / hist.sum()
+        ax = axes[0, j]
+        ax.bar(np.arange(S + 1), freq, color="C0", width=0.9)
+        ax.axhline(1.0 / (S + 1), color="k", ls="--", lw=1)
+        name, _ = VAR2NAME.get(v, (v, ""))
+        ax.set_title(f"{name}  (RI={reliability_index(hist):.2f})", fontsize=9)
+        ax.set_xlabel("rank of truth in ensemble", fontsize=8)
+        if j == 0:
+            ax.set_ylabel("frequency")
+
+        ax2 = axes[1, j]
+        if S >= 2:
+            ratio = spread_skill_ratio(ens, gt_np)
+            ax2.plot(np.arange(len(ratio)), ratio, "C0.-", ms=4, lw=1)
+        ax2.axhline(1.0, color="k", ls="--", lw=1)
+        ax2.set_xlabel("comparison time index", fontsize=8)
+        if j == 0:
+            ax2.set_ylabel("spread / skill")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "calibration.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def windpowers(
     samples: List[GridDataset], gt: GridDataset, out_dir: str
 ) -> str:
@@ -423,6 +486,7 @@ KINDS = {
     "climate_grid": climate_grid,
     "big_grid": lambda s, g, o, d: big_grid(s, g, d),
     "rapsd": lambda s, g, o, d: rapsd_figure(s, g, d, obs=o),
+    "calibration": lambda s, g, o, d: calibration(s, g, d, obs=o),
     "windpower": lambda s, g, o, d: windpowers(s, g, d),
     "windpower_dist": lambda s, g, o, d: windpower_dist(s, g, d),
 }
