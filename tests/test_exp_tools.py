@@ -94,3 +94,74 @@ def test_kde_is_a_density():
     # peak near 0 at approximately the standard normal density
     assert abs(grid[np.argmax(d)]) < 0.3
     np.testing.assert_allclose(d.max(), 1 / np.sqrt(2 * np.pi), rtol=0.15)
+
+
+def test_calibration_figure_smoke(tmp_path):
+    """calibration() renders rank-histogram + spread/skill panels from
+    GridDatasets and writes calibration.png."""
+    from climate2weather_tpu.data.grid import GridDataset
+    from climate2weather_tpu.exp.figures import calibration
+
+    rng = np.random.RandomState(0)
+    T, H, W = 5, 16, 16
+    time = np.datetime64("2014-01-01T00", "ns") + np.arange(T) * np.timedelta64(
+        1, "h"
+    )
+    coords = {
+        "time": time,
+        "rlat": np.linspace(-1, 1, H),
+        "rlon": np.linspace(-1, 1, W),
+    }
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return GridDataset(
+            {v: r.randn(T, H, W).astype(np.float32) for v in ("uas", "vas")},
+            dict(coords),
+        )
+
+    gt = mk(1)
+    samples = [mk(s) for s in range(2, 6)]
+    path = calibration(samples, gt, str(tmp_path))
+    assert path.endswith("calibration.png")
+    import os
+
+    assert os.path.getsize(path) > 0
+    # obs present: comparison restricted to the obs time grid
+    obs = GridDataset(
+        {v: np.asarray(gt.data_vars[v])[::2, ::4, ::4] for v in ("uas", "vas")},
+        {"time": time[::2], "rlat": coords["rlat"][::4],
+         "rlon": coords["rlon"][::4]},
+    )
+    assert calibration(samples, gt, str(tmp_path), obs=obs).endswith(
+        "calibration.png"
+    )
+
+
+def test_progression_report_format(tmp_path):
+    """progression_report tabulates per-checkpoint metrics pickles."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        from progression_report import format_table, progression_rows
+    finally:
+        sys.path.pop(0)
+
+    for kdata, w2 in ((1049, 50.0), (2097, 10.0)):
+        d = tmp_path / f"{kdata:07d}" / "guided" / "001_config" / "metrics" / "run"
+        d.mkdir(parents=True)
+        m = {
+            "wasserstein": {"uas": {"global": np.array([w2, w2])}},
+            "ssim": {"uas": {"global": np.array([0.5])}},
+        }
+        with open(d / "metrics.pickle", "wb") as f:
+            pickle.dump(m, f)
+
+    rows = list(progression_rows(tmp_path))
+    assert [k for k, _ in rows] == [1049, 2097]
+    table = format_table(rows, ["w2", "ssim", "crps"])
+    assert "1.05M" in table and "2.10M" in table
+    assert "50.0" in table and "10.0" in table
+    assert "crps" not in table  # absent metrics are skipped, not n/a rows
