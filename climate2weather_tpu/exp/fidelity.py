@@ -72,6 +72,7 @@ def run(
     seed: int = 0,
     skip_figures: bool = False,
     denoise_final: bool = False,
+    sampler_kind: str = "pc",
 ) -> dict:
     from climate2weather_tpu.exp import figures, metrics
 
@@ -95,6 +96,7 @@ def run(
         seed=int(seed),
         use_exact_grad=False,
         denoise_final=bool(denoise_final),
+        sampler_kind=str(sampler_kind),
     )
 
     print("=== guided (on-model-eval conditioning) ===")
@@ -156,6 +158,7 @@ def run(
         f"samples, {num_sampling_steps} steps, s_step={s_step}, "
         f"t_step={t_step} (reference on-model-eval protocol, "
         "exp/configs/000_on-model-eval/s16_t6.yml"
+        + (f", sampler={sampler_kind}" if sampler_kind != "pc" else "")
         + (", final-denoise" if denoise_final else "")
         + (f", {corrections} Langevin correction(s) tau={correction_tau}"
            if corrections else "") + ")",
@@ -214,6 +217,9 @@ def main():
     @click.option("--denoise-final", is_flag=True,
                   help="extra score pass at t=0 removes the sigma(0)=eta "
                        "residual noise floor from every sample")
+    @click.option("--sampler-kind", default="pc", show_default=True,
+                  type=click.Choice(["pc", "dpmpp2m"]),
+                  help="reverse-process solver for both ensembles")
     def cli(**kw):
         run(**kw)
 
