@@ -3,6 +3,14 @@
 # TPU-native: devices come from the JAX runtime; multi-host pods set
 # JAX_COORDINATOR_ADDRESS and launch one process per host).
 #
+# The run is wrapped in the stall supervisor
+# (climate2weather_tpu/training/supervisor.py): if the device runtime wedges
+# (no trainer output for --stall-timeout), the process group is killed and
+# relaunched, and the trainer's always-on load_latest resume continues the
+# run bit-exactly (soak-verified, docs/soak/SOAK.md). Set C2W_NO_SUPERVISOR=1
+# to launch the bare trainer (e.g. under SLURM requeueing, which plays the
+# same role).
+#
 # Usage: ./run_training.sh RUN_DIR RUN_ID TRAIN_H5 [extra train.py flags...]
 set -euo pipefail
 
@@ -11,7 +19,16 @@ RUN_ID=${2:?}
 TRAIN_H5=${3:?}
 shift 3
 
-exec python train.py \
+LAUNCH=(python train.py)
+if [ -z "${C2W_NO_SUPERVISOR:-}" ]; then
+  mkdir -p "$RUN_DIR/$RUN_ID"
+  LAUNCH=(python -m climate2weather_tpu.training.supervisor
+    --stall-timeout 900 --max-restarts 8
+    --journal "$RUN_DIR/$RUN_ID/supervisor.jsonl"
+    -- python train.py)
+fi
+
+exec "${LAUNCH[@]}" \
   --run-dir "$RUN_DIR" \
   --run-id "$RUN_ID" \
   --train-data "$TRAIN_H5" \

@@ -1,0 +1,99 @@
+"""Supervisor: stall detection, kill/restart, crash-loop abort.
+
+The supervised child is a tiny python script whose behavior flips on a
+state file, standing in for train.py's always-on checkpoint resume: the
+first incarnation "wedges" (prints, then sleeps forever), the relaunched
+incarnation finds the state file and completes — exactly the recovery
+contract the real trainer provides via load_latest.
+"""
+
+import json
+import sys
+
+from climate2weather_tpu.training.supervisor import (
+    SupervisorConfig,
+    main,
+    supervise,
+)
+
+PY = sys.executable
+
+
+def _cfg(cmd, **kw):
+    # Generous margins: CI hosts can be single-core and heavily loaded, so
+    # even `python -c print` may take seconds to produce its first line.
+    kw.setdefault("stall_timeout", 10.0)
+    kw.setdefault("startup_grace", 120.0)
+    kw.setdefault("term_grace", 5.0)
+    kw.setdefault("restart_delay", 0.1)
+    kw.setdefault("max_restarts", 3)
+    return SupervisorConfig(cmd=list(cmd), **kw)
+
+
+def test_clean_exit_passthrough(tmp_path):
+    log = tmp_path / "out.log"
+    res = supervise(
+        _cfg([PY, "-c", "print('Status: tick'); print('done')"], log_path=str(log))
+    )
+    assert res.exit_code == 0
+    assert res.restarts == 0 and res.stalls == 0
+    text = log.read_bytes()
+    assert b"Status: tick" in text and b"done" in text
+
+
+def test_stall_is_killed_and_resumed(tmp_path):
+    marker = tmp_path / "resumed"
+    child = (
+        "import pathlib,sys,time\n"
+        f"m = pathlib.Path({str(marker)!r})\n"
+        "if m.exists():\n"
+        "    print('resumed ok'); sys.exit(0)\n"
+        "m.touch()\n"
+        "print('Status: tick', flush=True)\n"
+        "time.sleep(600)\n"
+    )
+    journal = tmp_path / "journal.jsonl"
+    res = supervise(_cfg([PY, "-c", child], journal_path=str(journal)))
+    assert res.exit_code == 0
+    assert res.stalls == 1 and res.restarts == 1
+    kinds = [json.loads(l)["event"] for l in journal.read_text().splitlines()]
+    assert kinds == ["start", "stall", "killed", "start", "exit"]
+
+
+def test_quiet_startup_not_killed():
+    # Silent for longer than stall_timeout, but within startup_grace.
+    res = supervise(
+        _cfg(
+            [PY, "-c", "import time; time.sleep(15); print('up'); exit(0)"],
+            stall_timeout=3.0,
+        )
+    )
+    assert res.exit_code == 0 and res.stalls == 0
+
+
+def test_crash_loop_aborts_with_child_code():
+    res = supervise(_cfg([PY, "-c", "raise SystemExit(3)"], max_restarts=2))
+    assert res.exit_code == 3
+    assert res.restarts == 2  # restarts exhausted, then gave up
+
+
+def test_cli_requires_command():
+    try:
+        main(["--stall-timeout", "5"])
+    except SystemExit as e:
+        assert e.code == 2
+    else:
+        raise AssertionError("expected argparse error")
+
+
+def test_cli_runs_command(tmp_path):
+    journal = tmp_path / "j.jsonl"
+    code = main(
+        [
+            "--stall-timeout", "5",
+            "--journal", str(journal),
+            "--", PY, "-c", "print('hello')",
+        ]
+    )
+    assert code == 0
+    assert journal.exists()
