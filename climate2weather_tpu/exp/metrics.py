@@ -427,10 +427,12 @@ def run(exp_dir: str) -> dict:
         )  # [S, T, H, W]
 
         gtmean, gtstd = gt_da.mean(), gt_da.std()
+        # gt-standardized copies, shared by the W2 and calibration metrics
+        # below (each copy is multi-GB at year scale — materialize once).
+        samples_std = (samples - gtmean) / gtstd
+        gt_std = (np.asarray(gt_da) - gtmean) / gtstd
         metrics["wasserstein"][v] = {
-            "global": compute_wasserstein_nd(
-                (samples - gtmean) / gtstd, (gt_da - gtmean) / gtstd
-            )
+            "global": compute_wasserstein_nd(samples_std, gt_std)
         }
 
         # Cache keyed on the ensemble contents, not just the variable name:
@@ -453,8 +455,6 @@ def run(exp_dir: str) -> dict:
 
         # Calibration metrics (computed on gt-standardized fields so CRPS is
         # comparable across variables, like the W2 protocol above).
-        samples_std = (samples - gtmean) / gtstd
-        gt_std = (np.asarray(gt_da) - gtmean) / gtstd
         metrics["crps"][v] = {"global": crps_ensemble(samples_std, gt_std)}
         if samples.shape[0] >= 2:
             metrics["spread_skill"][v] = {
@@ -482,9 +482,9 @@ def run(exp_dir: str) -> dict:
             and (obs_np.shape[1], obs_np.shape[2]) != (H, W)
         ):
             base = upsample_observation(obs_np, H, W)[None]  # [1, T, H, W]
+            base_std = (base - gtmean) / gtstd
             metrics["wasserstein"][v]["interp_baseline"] = (
-                compute_wasserstein_nd((base - gtmean) / gtstd,
-                                       (gt_da - gtmean) / gtstd)
+                compute_wasserstein_nd(base_std, gt_std)
             )
             rb = rapsd_over_time(base, gt_da)
             metrics["melr"][v]["interp_baseline"] = melr(
@@ -493,7 +493,7 @@ def run(exp_dir: str) -> dict:
             metrics["ssim"][v]["interp_baseline"] = ssim_ensemble(base, gt_da)
             # deterministic forecast: fair CRPS degenerates to its MAE
             metrics["crps"][v]["interp_baseline"] = crps_ensemble(
-                (base - gtmean) / gtstd, gt_std
+                base_std, gt_std
             )
 
     for metrictype in metrics:

@@ -156,6 +156,22 @@ def supervise(cfg: SupervisorConfig, _sleep=time.sleep) -> SupervisorResult:
     restart_times: list[float] = []
     stalls = 0
     exit_code = 125
+    child: _ChildMonitor | None = None
+
+    # Terminating the supervisor must terminate the trainer: the child runs
+    # in its own session (start_new_session=True, so we can kill its group
+    # by pgid), which also detaches it from terminal/service signals — a
+    # wedged child would otherwise be orphaned holding the device forever.
+    def _on_signal(signum, frame):
+        record("supervisor_signal", signum=signum)
+        raise SystemExit(128 + signum)
+
+    old_handlers = {}
+    try:  # signal.signal only works from the main thread (fine in tests too)
+        for s in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[s] = signal.signal(s, _on_signal)
+    except ValueError:
+        pass
     try:
         while True:
             record("start", cmd=cfg.cmd, restarts=len(restart_times))
@@ -191,6 +207,10 @@ def supervise(cfg: SupervisorConfig, _sleep=time.sleep) -> SupervisorResult:
             restart_times.append(now)
             _sleep(cfg.restart_delay)
     finally:
+        if child is not None and child.poll() is None:
+            child.kill(cfg.term_grace)
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
         if journal is not None:
             journal.close()
         if log_file is not None:

@@ -86,6 +86,49 @@ def test_cli_requires_command():
         raise AssertionError("expected argparse error")
 
 
+def test_sigterm_kills_child_group(tmp_path):
+    # Terminating the supervisor must not orphan the (possibly wedged,
+    # silent) trainer: the child's pgid is killed on the way out.
+    import os
+    import signal
+    import subprocess
+    import time
+
+    pid_file = tmp_path / "child.pid"
+    child = (
+        "import os,pathlib,time\n"
+        f"pathlib.Path({str(pid_file)!r}).write_text(str(os.getpid()))\n"
+        "time.sleep(600)\n"  # silent wedge
+    )
+    sup = subprocess.Popen(
+        [
+            PY, "-m", "climate2weather_tpu.training.supervisor",
+            "--stall-timeout", "300", "--startup-grace", "300",
+            "--term-grace", "5",
+            "--", PY, "-c", child,
+        ]
+    )
+    deadline = time.time() + 120
+    while not pid_file.exists() and time.time() < deadline:
+        time.sleep(0.2)
+    assert pid_file.exists(), "child never started"
+    child_pid = int(pid_file.read_text())
+    sup.send_signal(signal.SIGTERM)
+    assert sup.wait(timeout=60) == 128 + signal.SIGTERM
+    # the child must be gone (kill(pid, 0) raises once it is reaped/zombie's
+    # parent -- here init -- has cleaned it up; poll briefly)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.2)
+    else:
+        os.kill(child_pid, 9)  # clean up before failing
+        raise AssertionError("child survived supervisor SIGTERM")
+
+
 def test_cli_runs_command(tmp_path):
     journal = tmp_path / "j.jsonl"
     code = main(
