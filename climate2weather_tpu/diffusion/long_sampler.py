@@ -552,6 +552,7 @@ def sample_dpmpp2m_long(
     jit_cache: Optional[dict] = None,
     proc_x0: Optional[Callable] = None,
     denoise_final: bool = False,
+    order: int = 2,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
@@ -561,11 +562,16 @@ def sample_dpmpp2m_long(
     ``steps_per_call`` splits the schedule across jitted calls (see
     sample_guided_long).
 
-    The multistep method needs ~5 trajectory-sized carries; at the full-year
-    scale that exceeds a 16 GB chip in fp32, so pass
+    ``order=3`` selects DPM-Solver++(3M) (sampler.sample_dpmpp3m): one more
+    trajectory-sized buffer carries the second-previous x0 prediction, with
+    first/second-order warm-up on the first two steps.
+
+    The multistep method needs ~5 trajectory-sized carries (6 at order 3);
+    at the full-year scale that exceeds a 16 GB chip in fp32, so pass
     ``traj_dtype=jnp.bfloat16`` to halve them (schedule math stays fp32;
     observation-space guidance is computed in fp32).
     """
+    assert order in (2, 3), order
     _check_obs_nchw(guidance, noise.shape)
     del rng
     from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
@@ -585,7 +591,12 @@ def sample_dpmpp2m_long(
     )
 
     def step(params_, carry, ts):
-        x, prev_x0, prev_h, is_first, nan_flag = carry
+        if order == 3:
+            x, prev_x0, prev2_x0, prev_h, prev2_h, i, nan_flag = carry
+            is_first = i < 1
+        else:
+            x, prev_x0, prev_h, is_first, nan_flag = carry
+            prev2_x0 = prev2_h = i = None
         t_prev, t_cur = ts
         eps, err = guided_eps_and_err(params_, x, t_prev)
 
@@ -598,6 +609,13 @@ def sample_dpmpp2m_long(
         growth = growth_f.astype(x.dtype)
         c_multi_cur = c_cur_f.astype(x.dtype)
         c_multi_prev = c_prev_f.astype(x.dtype)
+        if order == 3:
+            _, _, _, w0_f, w1_f, w2_f = steprules.dpm3_scalar_coeffs(
+                process, t_prev, t_cur, prev_h, prev2_h
+            )
+            w0, w1, w2 = (
+                w0_f.astype(x.dtype), w1_f.astype(x.dtype), w2_f.astype(x.dtype)
+            )
 
         def body(carry2, ci):
             out, new_prev = carry2
@@ -617,6 +635,10 @@ def sample_dpmpp2m_long(
             d = steprules.dpm_data_estimate(
                 x0, p_c, c_multi_cur, c_multi_prev, ~is_first
             )
+            if order == 3:
+                p2_c = jax.lax.dynamic_slice_in_dim(prev2_x0, f0, F)
+                d3 = steprules.dpm3_data_estimate(x0, p_c, p2_c, w0, w1, w2)
+                d = jnp.where(i >= 2, d3, d)
             new = steprules.dpm_step(x_c, d, sigma_ratio, growth)
             out = jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0)
             new_prev = jax.lax.dynamic_update_slice_in_dim(new_prev, x0, f0, 0)
@@ -626,20 +648,34 @@ def sample_dpmpp2m_long(
             body, (jnp.zeros_like(x), jnp.zeros_like(x)), jnp.arange(n_fchunks)
         )
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x_new)))
+        if order == 3:
+            return (x_new, x0_buf, prev_x0, h, prev_h, i + 1, nan_flag), None
         return (x_new, x0_buf, h, jnp.asarray(False), nan_flag), None
 
-    init = (
-        noise,
-        jnp.zeros_like(noise),
-        jnp.ones((), jnp.float32),
-        jnp.asarray(True),
-        jnp.asarray(False),
-    )
+    if order == 3:
+        init = (
+            noise,
+            jnp.zeros_like(noise),
+            jnp.zeros_like(noise),
+            jnp.ones((), jnp.float32),
+            jnp.ones((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.asarray(False),
+        )
+    else:
+        init = (
+            noise,
+            jnp.zeros_like(noise),
+            jnp.ones((), jnp.float32),
+            jnp.asarray(True),
+            jnp.asarray(False),
+        )
     ts_pairs = jnp.stack([time_steps[:-1], time_steps[1:]], axis=1)  # [steps, 2]
     if steps_per_call is None:
-        (x, _, _, _, nan_flag), _ = jax.lax.scan(
+        final_carry, _ = jax.lax.scan(
             lambda c, t: step(params, c, t), init, (ts_pairs[:, 0], ts_pairs[:, 1])
         )
+        x, nan_flag = final_carry[0], final_carry[-1]
         if denoise_final:
             x = final_denoise(params, x)
             nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
@@ -649,7 +685,7 @@ def sample_dpmpp2m_long(
     # full static config + identity of closure-captured objects.
     g_statics, g_objs = _guidance_cache_parts(guidance)
     statics = (
-        "dpm", tuple(noise.shape), str(noise.dtype),
+        "dpm", order, tuple(noise.shape), str(noise.dtype),
         F, chunk_size, markov_order,
     ) + g_statics
     objs = g_objs + (eps_apply, process, proc_x0, window_sharding)

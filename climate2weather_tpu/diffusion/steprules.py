@@ -22,6 +22,8 @@ Formula provenance (parity citations):
   (reference src/thor/pipelines.py:81-88)
 - DPM-Solver++(2M): Lu et al. 2022, data-prediction multistep
   (no reference analog; quality/cost extension)
+- DPM-Solver++(3M): same family, third-order multistep — exact-integrator
+  A0/A1/A2 weights over a quadratic data extrapolant
 """
 
 from __future__ import annotations
@@ -39,6 +41,8 @@ __all__ = [
     "dpm_scalar_coeffs",
     "dpm_data_estimate",
     "dpm_step",
+    "dpm3_scalar_coeffs",
+    "dpm3_data_estimate",
 ]
 
 
@@ -156,3 +160,56 @@ def dpm_data_estimate(x0, prev_x0, c_cur, c_prev, use_multi):
 def dpm_step(x, d, sigma_ratio, growth):
     """x <- sigma_ratio * x + growth * D."""
     return sigma_ratio * x + growth * d
+
+
+# -- DPM-Solver++(3M) --------------------------------------------------------
+
+def dpm3_scalar_coeffs(process, t_prev, t_cur, prev_h, prev2_h):
+    """fp32 scalar coefficients of one DPM++(3M) update.
+
+    Third-order multistep in data-prediction space (Lu et al. 2022, the
+    standard third-order extension).  With lambda = log(mu/sigma),
+    h = lambda(t_cur) - lambda(t_prev), and the two previous lambda-step
+    sizes ``prev_h`` (h_0) and ``prev2_h`` (h_1), the exact-integrator
+    weights of the quadratic data extrapolant are, in terms of
+    r0 = h_0/h, r1 = h_1/h:
+
+        A0 = -expm1(-h)                 (first-order weight)
+        A1 = 1 + expm1(-h)/h            (weight of the first difference D1)
+        A2 = 1/2 - (expm1(-h) + h)/h^2  (weight of the second difference D2)
+
+        D1 = D1_0 + r0/(r0+r1) (D1_0 - D1_1),  D2 = (D1_0 - D1_1)/(r0+r1)
+        D1_0 = (x0 - prev_x0)/r0,  D1_1 = (prev_x0 - prev2_x0)/r1
+
+    Folding D0/D1/D2 into one effective data estimate keeps the update in
+    the same ``dpm_step`` form as 2M: x <- sigma_ratio x + growth D with
+    growth = mu(t_cur) A0 and D = w0 x0 + w1 prev_x0 + w2 prev2_x0.
+
+    Returns ``(h, sigma_ratio, growth, w0, w1, w2)`` as jnp fp32 scalars.
+    """
+    lam_prev = jnp.log(process.mu(t_prev)) - jnp.log(process.sigma(t_prev))
+    lam_cur = jnp.log(process.mu(t_cur)) - jnp.log(process.sigma(t_cur))
+    h = lam_cur - lam_prev
+    r0 = prev_h / h
+    r1 = prev2_h / h
+    em = jnp.expm1(-h)
+    a0 = -em
+    a1 = 1.0 + em / h
+    a2 = 0.5 - (em + h) / (h * h)
+    s = r0 + r1
+    ca = 1.0 + r0 / s  # D1 = ca*D1_0 - cb*D1_1;  D2 = cc*(D1_0 - D1_1)
+    cb = r0 / s
+    cc = 1.0 / s
+    u_cur = (a1 * ca + a2 * cc) / r0
+    u_old = (a1 * cb + a2 * cc) / r1
+    w0 = 1.0 + u_cur / a0
+    w1 = -(u_cur + u_old) / a0
+    w2 = u_old / a0
+    sigma_ratio = process.sigma(t_cur) / process.sigma(t_prev)
+    growth = a0 * process.mu(t_cur)
+    return h, sigma_ratio, growth, w0, w1, w2
+
+
+def dpm3_data_estimate(x0, prev_x0, prev2_x0, w0, w1, w2):
+    """Effective third-order data estimate D = w0 x0 + w1 prev + w2 prev2."""
+    return w0 * x0 + w1 * prev_x0 + w2 * prev2_x0

@@ -259,13 +259,16 @@ def _run_impl(
                 jit_cache=_long_jit_cache,
                 denoise_final=denoise_final,
             )
-            if sampler_kind == "dpmpp2m":
-                # the multistep carry needs ~5 trajectory buffers; go bf16
-                # beyond ~4000 frames to stay within a 16 GB chip
+            if sampler_kind in ("dpmpp2m", "dpmpp3m"):
+                # the multistep carry needs ~5 trajectory buffers (6 at
+                # order 3); go bf16 beyond ~4000 frames to stay within a
+                # 16 GB chip
                 traj_dtype = jnp.bfloat16 if L > 4000 else None
                 return sample_dpmpp2m_long(
                     process, eps_fn, params, noise_nchw,
-                    traj_dtype=traj_dtype, **common
+                    traj_dtype=traj_dtype,
+                    order=3 if sampler_kind == "dpmpp3m" else 2,
+                    **common
                 )
             return sample_guided_long(
                 process,

@@ -218,7 +218,7 @@ def main():
                   help="extra score pass at t=0 removes the sigma(0)=eta "
                        "residual noise floor from every sample")
     @click.option("--sampler-kind", default="pc", show_default=True,
-                  type=click.Choice(["pc", "dpmpp2m"]),
+                  type=click.Choice(["pc", "dpmpp2m", "dpmpp3m"]),
                   help="reverse-process solver for both ensembles")
     def cli(**kw):
         run(**kw)

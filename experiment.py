@@ -96,9 +96,9 @@ def figures(kind, exp_dir, out_dir, compare):
 @click.option("--denoise-final", is_flag=True,
               help="extra score pass at t=0 removes the sigma(0)=eta "
                    "residual noise floor from every sample")
-@click.option("--sampler-kind", type=click.Choice(["pc", "dpmpp2m"]),
+@click.option("--sampler-kind", type=click.Choice(["pc", "dpmpp2m", "dpmpp3m"]),
               default="pc", show_default=True,
-              help="predictor family: reference PC or DPM++(2M)")
+              help="predictor family: reference PC, DPM++(2M), or DPM++(3M)")
 def fidelity(**kw):
     """Statistical acceptance: guided + unconditional ensembles, W2/MELR/SSIM
     for both, figures, and a FIDELITY.md table (exp/fidelity.py)."""

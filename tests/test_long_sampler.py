@@ -126,6 +126,44 @@ def test_dpmpp_long_matches_plain_dpmpp_unguided(setup):
     np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+def test_dpmpp3m_long_matches_plain_3m_unguided(setup):
+    """order=3 long form vs the short NHWC sample_dpmpp3m: same math, NCHW
+    frame-chunked with one extra trajectory buffer."""
+    from climate2weather_tpu.diffusion.sampler import sample_dpmpp3m
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    want, _ = sample_dpmpp3m(proc, sf, noise, steps=6)
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=6, frame_chunk=5,
+        order=3,
+    )
+    assert not bool(nan)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    # stepwise drive (jit-cached chunk program) must agree with single scan
+    got_s, nan_s = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=None, steps=6, frame_chunk=5,
+        order=3, steps_per_call=2,
+    )
+    assert not bool(nan_s)
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(got), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_dpmpp3m_long_guided_runs(setup):
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+        order=3,
+    )
+    assert not bool(nan)
+    assert got.shape == to_nchw(noise).shape
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
 def test_dpmpp_long_guided_runs(setup):
     proc, eps_fn, params, k, sf, guidance, noise = setup
     got, nan = sample_dpmpp2m_long(
