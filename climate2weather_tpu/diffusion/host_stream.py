@@ -112,6 +112,7 @@ def sample_host(
     steps: int = 64,
     corrections: int = 0,
     tau: float = 1.0,
+    corrector_variance_exact: bool = False,
     guidance_A: Optional[NumpyCoarsening] = None,
     guidance_y: Optional[np.ndarray] = None,
     guidance_std=1e-2,
@@ -186,7 +187,12 @@ def sample_host(
                 tau, float(np.mean(np.square(eps), dtype=np.float64))
             )
             z = rng.standard_normal(x.shape).astype(np.float32)
-            x = steprules.langevin_step_inplace(x, eps, z, delta, sigma2)
+            x = steprules.langevin_step_inplace(
+                x, eps, z, delta, sigma2,
+                noise_scale=steprules.langevin_noise_scale(
+                    tau, delta, corrector_variance_exact
+                ),
+            )
         if not np.isfinite(x).all():
             raise FloatingPointError(f"NaN detected in sample at step {i}")
         if verbose and (i % 16 == 0 or i == steps - 1):

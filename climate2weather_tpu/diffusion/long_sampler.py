@@ -353,6 +353,7 @@ def sample_guided_long(
     steps: int = 64,
     corrections: int = 0,
     tau: float = 1.0,
+    corrector_variance_exact: bool = False,
     rng: Optional[jax.Array] = None,
     frame_chunk: int = 256,
     window_sharding=None,
@@ -445,7 +446,9 @@ def sample_guided_long(
                     z,
                     delta.astype(x_c.dtype),
                     sigma2.astype(x_c.dtype),
-                    sqrt2delta=jnp.sqrt(2.0 * delta).astype(x_c.dtype),
+                    sqrt2delta=steprules.langevin_noise_scale(
+                        tau, delta, corrector_variance_exact
+                    ).astype(x_c.dtype),
                 )
             return jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0), None
 
@@ -506,7 +509,7 @@ def sample_guided_long(
     # proc_x0, sharding, the apply fn) are identity-checked at lookup.
     g_statics, g_objs = _guidance_cache_parts(guidance)
     statics = (
-        "pc", steps, corrections, float(tau),
+        "pc", steps, corrections, float(tau), bool(corrector_variance_exact),
         tuple(noise.shape), str(noise.dtype),
         F, chunk_size, markov_order,
     ) + g_statics

@@ -33,6 +33,7 @@ def sample(
     steps: int = 64,
     corrections: int = 0,
     tau: float = 1.0,
+    corrector_variance_exact: bool = False,
     rng: Optional[jax.Array] = None,
     proc_x0: Optional[Callable] = None,
     denoise_final: bool = False,
@@ -51,6 +52,10 @@ def sample(
     the analytic N(0,I) case), i.e. each corrector step injects broadband
     noise.  This is why the reference's tuned production configs ship
     ``num_corrections: 0``; use tau <= ~0.1 if enabling corrections.
+    ``corrector_variance_exact`` (off for reference parity) rescales the
+    corrector noise to the amplitude whose Gaussian stationary variance is
+    exact (steprules.langevin_noise_scale), keeping the corrector's mixing
+    without its broadband noise injection.
 
     ``denoise_final`` adds one extra score evaluation at t=0 and returns the
     posterior-mean estimate ``x - eta * eps`` instead of the re-noised state.
@@ -97,7 +102,9 @@ def sample(
                 z,
                 delta.astype(x.dtype),
                 process.sigma(t - dt).astype(x.dtype),
-                sqrt2delta=jnp.sqrt(2.0 * delta).astype(x.dtype),
+                sqrt2delta=steprules.langevin_noise_scale(
+                    tau, delta, corrector_variance_exact
+                ).astype(x.dtype),
             )
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))

@@ -19,7 +19,9 @@ Formula provenance (parity citations):
   (reference src/thor/pipelines.py:41-46)
 - Langevin corrector: delta = tau / mean(eps^2),
   x <- x - (delta*eps + sqrt(2 delta) z) * sigma(t-dt)
-  (reference src/thor/pipelines.py:81-88)
+  (reference src/thor/pipelines.py:81-88); opt-in variance-exact noise
+  amplitude sqrt((2 - tau) delta) (:func:`langevin_noise_scale`) removes
+  the unadjusted chain's stationary-variance overshoot
 - DPM-Solver++(2M): Lu et al. 2022, data-prediction multistep
   (no reference analog; quality/cost extension)
 - DPM-Solver++(3M): same family, third-order multistep — exact-integrator
@@ -36,6 +38,7 @@ __all__ = [
     "ddim_step",
     "ddim_step_inplace",
     "langevin_delta",
+    "langevin_noise_scale",
     "langevin_step",
     "langevin_step_inplace",
     "dpm_scalar_coeffs",
@@ -100,6 +103,31 @@ def langevin_delta(tau, mean_sq_eps):
     return tau / mean_sq_eps
 
 
+def langevin_noise_scale(tau, delta, variance_exact=False):
+    """Noise amplitude of one corrector step (the ``sqrt(2 delta)`` factor).
+
+    Unadjusted Euler-Maruyama (reference parity, src/thor/pipelines.py:81-88)
+    injects noise of variance ``2 delta sigma^2`` per step; under the
+    adaptive rule ``delta = tau / mean(eps^2)`` the chain's stationary
+    variance on a Gaussian marginal of any variance v overshoots the target
+    by 1/(1 - tau/2) (+15% std at tau=0.5 — measured,
+    docs/fidelity/FIDELITY.md): the effective x-space drift contracts by
+    (1 - tau) per step, for which ``2 delta`` is too much noise.
+
+    ``variance_exact=True`` scales the noise to ``sqrt((2 - tau) delta)``:
+    with the same drift, the Gaussian stationary variance is then exactly v
+    — the adaptive normalization makes the correction a function of tau
+    alone, independent of the (unknown) marginal variance.  This removes
+    the corrector's broadband noise injection while keeping its mixing;
+    requires ``tau < 2``.
+    """
+    if variance_exact:
+        if not 0.0 < tau < 2.0:
+            raise ValueError(f"variance-exact corrector requires 0 < tau < 2, got {tau}")
+        return ((2.0 - tau) * delta) ** 0.5
+    return (2.0 * delta) ** 0.5
+
+
 def langevin_step(x, eps, z, delta, sigma2, sqrt2delta=None):
     """x <- x - (delta eps + sqrt(2 delta) z) * sigma2.
 
@@ -110,14 +138,19 @@ def langevin_step(x, eps, z, delta, sigma2, sqrt2delta=None):
     return x - (delta * eps + sqrt2delta * z) * sigma2
 
 
-def langevin_step_inplace(x, eps, z, delta, sigma2):
+def langevin_step_inplace(x, eps, z, delta, sigma2, noise_scale=None):
     """Zero-allocation numpy twin of :func:`langevin_step`.  Mutates and
     CONSUMES ``eps`` and ``z``; returns ``x`` updated in place.
 
-        x <- x - (delta*eps + sqrt(2 delta) z) * sigma2
+        x <- x - (delta*eps + noise_scale z) * sigma2
+
+    ``noise_scale`` defaults to ``sqrt(2 delta)`` (see
+    :func:`langevin_noise_scale` for the variance-exact alternative).
     """
+    if noise_scale is None:
+        noise_scale = (2.0 * delta) ** 0.5
     eps *= delta * sigma2
-    z *= ((2.0 * delta) ** 0.5) * sigma2
+    z *= noise_scale * sigma2
     x -= eps
     x -= z
     return x

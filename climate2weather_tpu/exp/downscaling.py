@@ -101,6 +101,7 @@ def _run_impl(
     likelihood_std: Union[float, Sequence[float]] = 1e-2,
     likelihood_gamma: Union[float, Sequence[float]] = 1e-2,
     correction_tau: float = 0.5,
+    corrector_variance_exact: bool = False,
     seed: int = 0,
     t_step: int = 6,
     s_step: int = 16,
@@ -214,7 +215,11 @@ def _run_impl(
     assert sampler_kind in SAMPLERS, (sampler_kind, sorted(SAMPLERS))
     sampler_fn = SAMPLERS[sampler_kind]
     sampler_extra = (
-        dict(corrections=num_corrections, tau=correction_tau)
+        dict(
+            corrections=num_corrections,
+            tau=correction_tau,
+            corrector_variance_exact=corrector_variance_exact,
+        )
         if sampler_kind == "pc"
         else {}
     )
@@ -277,6 +282,7 @@ def _run_impl(
                 noise_nchw,
                 corrections=num_corrections,
                 tau=correction_tau,
+                corrector_variance_exact=corrector_variance_exact,
                 **common,
             )
     else:
@@ -358,6 +364,7 @@ def _run_impl(
                 steps=num_sampling_steps,
                 corrections=num_corrections,
                 tau=correction_tau,
+                corrector_variance_exact=corrector_variance_exact,
                 guidance_A=NumpyCoarsening(s_step, t_step) if do_condition else None,
                 guidance_y=np.asarray(jax.device_get(observation))
                 if do_condition

@@ -61,6 +61,7 @@ def run(
     num_sampling_steps: int = 256,
     corrections: int = 0,
     correction_tau: float = 0.5,
+    corrector_variance_exact: bool = False,
     ensemble_batch: int = 3,
     batch_size: int = 128,
     t_step: int = 6,
@@ -89,6 +90,7 @@ def run(
         num_sampling_steps=int(num_sampling_steps),
         num_corrections=int(corrections),
         correction_tau=float(correction_tau),
+        corrector_variance_exact=bool(corrector_variance_exact),
         t_step=int(t_step),
         s_step=int(s_step),
         batch_size=int(batch_size),
@@ -161,6 +163,7 @@ def run(
         + (f", sampler={sampler_kind}" if sampler_kind != "pc" else "")
         + (", final-denoise" if denoise_final else "")
         + (f", {corrections} Langevin correction(s) tau={correction_tau}"
+           + (", variance-exact noise" if corrector_variance_exact else "")
            if corrections else "") + ")",
         f"- metrics protocol: observation time grid, gt-standardized "
         f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
@@ -210,6 +213,9 @@ def main():
     @click.option("--corrections", default=0, type=int,
                   help="Langevin corrector steps per predictor step")
     @click.option("--correction-tau", default=0.5, type=float)
+    @click.option("--corrector-variance-exact", is_flag=True,
+                  help="variance-exact Langevin corrector noise "
+                       "(steprules.langevin_noise_scale)")
     @click.option("--ensemble-batch", default=3, type=int)
     @click.option("--uncond-samples", default=None, type=int)
     @click.option("--seed", default=0, type=int)

@@ -20,6 +20,9 @@ def cli():
 @click.option("--num-hours", type=int, default=None)
 @click.option("--num-sampling-steps", type=int, default=None)
 @click.option("--num-corrections", type=int, default=None)
+@click.option("--corrector-variance-exact", type=bool, default=None,
+              help="variance-exact Langevin corrector noise (see "
+                   "diffusion/steprules.langevin_noise_scale)")
 @click.option("--batch-size", type=int, default=None)
 @click.option("--seed", type=int, default=None)
 @click.option("--observation-path", type=str, default=None)
@@ -89,6 +92,9 @@ def figures(kind, exp_dir, out_dir, compare):
 @click.option("--corrections", default=0, type=int, show_default=True,
               help="Langevin corrector steps per predictor step")
 @click.option("--correction-tau", default=0.5, type=float, show_default=True)
+@click.option("--corrector-variance-exact", is_flag=True,
+              help="variance-exact Langevin corrector noise (see "
+                   "diffusion/steprules.langevin_noise_scale)")
 @click.option("--ensemble-batch", default=3, type=int, show_default=True)
 @click.option("--uncond-samples", default=None, type=int)
 @click.option("--seed", default=0, type=int, show_default=True)

@@ -113,6 +113,17 @@ def test_long_with_corrections_runs(setup, rng):
     )
     assert not bool(nan)
     assert got.shape == to_nchw(noise).shape
+    # variance-exact corrector noise: different amplitude -> different
+    # result, same shape, still finite (formula tested analytically in
+    # test_sampler.py; here just the long-tier plumbing incl. jit-cache key)
+    got_ve, nan_ve = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance,
+        steps=2, corrections=1, tau=0.5, corrector_variance_exact=True,
+        rng=rng, frame_chunk=5,
+    )
+    assert not bool(nan_ve)
+    assert not np.allclose(np.asarray(got_ve), np.asarray(got))
 
 
 def test_dpmpp_long_matches_plain_dpmpp_unguided(setup):

@@ -82,6 +82,48 @@ def test_corrector_variance_inflation_matches_theory(rng):
     assert abs(std[0.05] - 1.0) < 0.05, std
 
 
+def test_corrector_variance_exact_removes_overshoot(rng):
+    """With ``corrector_variance_exact`` the corrector noise is scaled to
+    sqrt((2 - tau) delta) (steprules.langevin_noise_scale): under the
+    adaptive step rule the Gaussian stationary variance is then exact for
+    any target variance, so even the aggressive tau=0.5 must keep sample
+    std at ~1.0 where the unadjusted chain inflates to ~1.15 (test above).
+    Many corrector steps per predictor step drive the chain to its
+    stationary law, making the test sharp."""
+    proc = VPCosineProcess()
+
+    def score_fn(x, t):
+        mu, sigma = proc.mu(t), proc.sigma(t)
+        return sigma * x / (mu**2 + sigma**2)
+
+    noise = jax.random.normal(rng, (8192,))
+    key = jax.random.PRNGKey(1)
+    out, nan = sample(
+        proc, score_fn, noise, steps=64, corrections=3, tau=0.5, rng=key,
+        corrector_variance_exact=True,
+    )
+    assert not bool(nan)
+    assert abs(float(jnp.std(out)) - 1.0) < 0.05, float(jnp.std(out))
+    # the unadjusted chain under the same heavy-correction schedule
+    out_em, _ = sample(
+        proc, score_fn, noise, steps=64, corrections=3, tau=0.5, rng=key
+    )
+    assert float(jnp.std(out_em)) > 1.10, float(jnp.std(out_em))
+
+
+def test_langevin_noise_scale_values():
+    import pytest
+
+    from climate2weather_tpu.diffusion import steprules
+
+    assert np.isclose(steprules.langevin_noise_scale(0.5, 2.0), 2.0)
+    assert np.isclose(
+        steprules.langevin_noise_scale(0.5, 2.0, variance_exact=True), 3.0**0.5
+    )
+    with pytest.raises(ValueError):
+        steprules.langevin_noise_scale(2.5, 1.0, variance_exact=True)
+
+
 def test_proc_x0_hook(rng):
     proc = VPCosineProcess()
     score_fn = lambda x, t: jnp.zeros_like(x)
