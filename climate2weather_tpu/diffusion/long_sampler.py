@@ -556,6 +556,7 @@ def sample_dpmpp2m_long(
     proc_x0: Optional[Callable] = None,
     denoise_final: bool = False,
     order: int = 2,
+    sde_eta: float = 0.0,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
@@ -569,6 +570,10 @@ def sample_dpmpp2m_long(
     trajectory-sized buffer carries the second-previous x0 prediction, with
     first/second-order warm-up on the first two steps.
 
+    ``sde_eta > 0`` selects SDE-DPM-Solver++(2M) (order 2 only; see
+    sampler.sample_dpmpp2m): per-step noise injection of strength eta at
+    zero extra network evaluations; requires ``rng``.
+
     The multistep method needs ~5 trajectory-sized carries (6 at order 3);
     at the full-year scale that exceeds a 16 GB chip in fp32, so pass
     ``traj_dtype=jnp.bfloat16`` to halve them (schedule math stays fp32;
@@ -576,7 +581,16 @@ def sample_dpmpp2m_long(
     """
     assert order in (2, 3), order
     _check_obs_nchw(guidance, noise.shape)
-    del rng
+    if sde_eta < 0:
+        raise ValueError(f"sde_eta must be >= 0, got {sde_eta}")
+    if sde_eta > 0 and order != 2:
+        raise ValueError("sde_eta requires order=2 (SDE form is 2M-only)")
+    if sde_eta > 0 and rng is None:
+        # no silent PRNGKey(0) fallback (see sample_guided_long's corrector)
+        raise ValueError("sde_eta > 0 requires an rng key")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    use_sde = sde_eta > 0
     from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
 
     if traj_dtype is not None:
@@ -597,21 +611,35 @@ def sample_dpmpp2m_long(
         if order == 3:
             x, prev_x0, prev2_x0, prev_h, prev2_h, i, nan_flag = carry
             is_first = i < 1
+            key = zkey = None
+        elif use_sde:
+            x, prev_x0, prev_h, is_first, key, nan_flag = carry
+            prev2_x0 = prev2_h = i = None
+            key, zkey = jax.random.split(key)
         else:
             x, prev_x0, prev_h, is_first, nan_flag = carry
-            prev2_x0 = prev2_h = i = None
+            prev2_x0 = prev2_h = i = key = zkey = None
         t_prev, t_cur = ts
         eps, err = guided_eps_and_err(params_, x, t_prev)
 
         mu = process.mu(t_prev)
         sigma = process.sigma(t_prev)
-        h, sigma_ratio_f, growth_f, c_cur_f, c_prev_f = steprules.dpm_scalar_coeffs(
-            process, t_prev, t_cur, prev_h
-        )
-        sigma_ratio = sigma_ratio_f.astype(x.dtype)
-        growth = growth_f.astype(x.dtype)
-        c_multi_cur = c_cur_f.astype(x.dtype)
-        c_multi_prev = c_prev_f.astype(x.dtype)
+        if use_sde:
+            h, decay_f, growth_f, corr_f, nscale_f = steprules.dpm_sde_scalar_coeffs(
+                process, t_prev, t_cur, prev_h, sde_eta
+            )
+            decay = decay_f.astype(x.dtype)
+            growth = growth_f.astype(x.dtype)
+            corr = corr_f.astype(x.dtype)
+            nscale = nscale_f.astype(x.dtype)
+        else:
+            h, sigma_ratio_f, growth_f, c_cur_f, c_prev_f = steprules.dpm_scalar_coeffs(
+                process, t_prev, t_cur, prev_h
+            )
+            sigma_ratio = sigma_ratio_f.astype(x.dtype)
+            growth = growth_f.astype(x.dtype)
+            c_multi_cur = c_cur_f.astype(x.dtype)
+            c_multi_prev = c_prev_f.astype(x.dtype)
         if order == 3:
             _, _, _, w0_f, w1_f, w2_f = steprules.dpm3_scalar_coeffs(
                 process, t_prev, t_cur, prev_h, prev2_h
@@ -635,14 +663,22 @@ def sample_dpmpp2m_long(
             )
             if proc_x0 is not None:
                 x0 = proc_x0(x0)
-            d = steprules.dpm_data_estimate(
-                x0, p_c, c_multi_cur, c_multi_prev, ~is_first
-            )
-            if order == 3:
-                p2_c = jax.lax.dynamic_slice_in_dim(prev2_x0, f0, F)
-                d3 = steprules.dpm3_data_estimate(x0, p_c, p2_c, w0, w1, w2)
-                d = jnp.where(i >= 2, d3, d)
-            new = steprules.dpm_step(x_c, d, sigma_ratio, growth)
+            if use_sde:
+                z = jax.random.normal(
+                    jax.random.fold_in(zkey, ci), x_c.shape, x_c.dtype
+                )
+                new = steprules.dpm_sde_step(
+                    x_c, x0, p_c, z, decay, growth, corr, nscale, ~is_first
+                )
+            else:
+                d = steprules.dpm_data_estimate(
+                    x0, p_c, c_multi_cur, c_multi_prev, ~is_first
+                )
+                if order == 3:
+                    p2_c = jax.lax.dynamic_slice_in_dim(prev2_x0, f0, F)
+                    d3 = steprules.dpm3_data_estimate(x0, p_c, p2_c, w0, w1, w2)
+                    d = jnp.where(i >= 2, d3, d)
+                new = steprules.dpm_step(x_c, d, sigma_ratio, growth)
             out = jax.lax.dynamic_update_slice_in_dim(out, new, f0, 0)
             new_prev = jax.lax.dynamic_update_slice_in_dim(new_prev, x0, f0, 0)
             return (out, new_prev), None
@@ -653,6 +689,8 @@ def sample_dpmpp2m_long(
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x_new)))
         if order == 3:
             return (x_new, x0_buf, prev_x0, h, prev_h, i + 1, nan_flag), None
+        if use_sde:
+            return (x_new, x0_buf, h, jnp.asarray(False), key, nan_flag), None
         return (x_new, x0_buf, h, jnp.asarray(False), nan_flag), None
 
     if order == 3:
@@ -663,6 +701,15 @@ def sample_dpmpp2m_long(
             jnp.ones((), jnp.float32),
             jnp.ones((), jnp.float32),
             jnp.zeros((), jnp.int32),
+            jnp.asarray(False),
+        )
+    elif use_sde:
+        init = (
+            noise,
+            jnp.zeros_like(noise),
+            jnp.ones((), jnp.float32),
+            jnp.asarray(True),
+            rng,
             jnp.asarray(False),
         )
     else:
@@ -688,7 +735,7 @@ def sample_dpmpp2m_long(
     # full static config + identity of closure-captured objects.
     g_statics, g_objs = _guidance_cache_parts(guidance)
     statics = (
-        "dpm", order, tuple(noise.shape), str(noise.dtype),
+        "dpm", order, float(sde_eta), tuple(noise.shape), str(noise.dtype),
         F, chunk_size, markov_order,
     ) + g_statics
     objs = g_objs + (eps_apply, process, proc_x0, window_sharding)

@@ -157,15 +157,16 @@ def sample_dpmpp2m(
     noise: jnp.ndarray,
     *,
     steps: int = 64,
-    rng: Optional[jax.Array] = None,  # unused; signature-compatible
+    rng: Optional[jax.Array] = None,  # used only when sde_eta > 0
     proc_x0: Optional[Callable] = None,
     lambda_spacing: bool = True,
     denoise_final: bool = False,
+    sde_eta: float = 0.0,
 ):
-    """DPM-Solver++(2M) multistep sampler (Lu et al., 2022) — deterministic,
-    second-order in data-prediction space.  Reaches the quality of many more
-    first-order (DDIM/PC-predictor) steps with the same eps model and the
-    same guidance, cutting the per-sample network-evaluation count — the
+    """DPM-Solver++(2M) multistep sampler (Lu et al., 2022) — second-order
+    in data-prediction space.  Reaches the quality of many more first-order
+    (DDIM/PC-predictor) steps with the same eps model and the same
+    guidance, cutting the per-sample network-evaluation count — the
     dominant cost of year-scale downscaling (SURVEY.md §3.2 cost model).
 
     Half-log-SNR lambda(t) = log(mu/sigma); with h_i = lambda_i -
@@ -176,43 +177,70 @@ def sample_dpmpp2m(
 
     (first step: D = x0, the DDIM step).  Steps are spaced uniformly in
     lambda by default (``lambda_spacing``), uniformly in t otherwise.
+
+    ``sde_eta > 0`` selects SDE-DPM-Solver++(2M) (midpoint form,
+    steprules.dpm_sde_scalar_coeffs): per-step noise injection of strength
+    eta against a matched extra decay of the carried state — re-randomizes
+    solver error instead of accumulating it, at zero extra network evals;
+    eta = 0 is exactly the deterministic solver.  Requires ``rng``.
     Returns ``(x, nan_detected)``.
     """
-    del rng
+    if sde_eta < 0:
+        raise ValueError(f"sde_eta must be >= 0, got {sde_eta}")
+    if sde_eta > 0 and rng is None:
+        # no silent PRNGKey(0) fallback: every "independent" ensemble member
+        # would inject identical noise (same rationale as the PC corrector)
+        raise ValueError("sde_eta > 0 requires an rng key")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     if lambda_spacing:
         time_steps = logsnr_time_grid(process, steps)
     else:
         time_steps = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)
 
     def step(carry, ts):
-        x, prev_x0, prev_h, is_first, nan_flag = carry
+        x, prev_x0, prev_h, is_first, key, nan_flag = carry
         t_prev, t_cur = ts
         eps = score_fn(x, t_prev)
         x0 = process.denoise(x, t_prev, eps)
         if proc_x0 is not None:
             x0 = proc_x0(x0)
 
-        h, sigma_ratio, growth, c_cur, c_prev = steprules.dpm_scalar_coeffs(
-            process, t_prev, t_cur, prev_h
-        )
-        d = steprules.dpm_data_estimate(
-            x0, prev_x0, c_cur.astype(x.dtype), c_prev.astype(x.dtype), ~is_first
-        )
-        x = steprules.dpm_step(
-            x, d, sigma_ratio.astype(x.dtype), growth.astype(x.dtype)
-        )
+        if sde_eta > 0:
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, x.shape, x.dtype)
+            h, decay, growth, corr, nscale = steprules.dpm_sde_scalar_coeffs(
+                process, t_prev, t_cur, prev_h, sde_eta
+            )
+            x = steprules.dpm_sde_step(
+                x, x0, prev_x0, z,
+                decay.astype(x.dtype), growth.astype(x.dtype),
+                corr.astype(x.dtype), nscale.astype(x.dtype), ~is_first,
+            )
+        else:
+            h, sigma_ratio, growth, c_cur, c_prev = steprules.dpm_scalar_coeffs(
+                process, t_prev, t_cur, prev_h
+            )
+            d = steprules.dpm_data_estimate(
+                x0, prev_x0, c_cur.astype(x.dtype), c_prev.astype(x.dtype),
+                ~is_first,
+            )
+            x = steprules.dpm_step(
+                x, d, sigma_ratio.astype(x.dtype), growth.astype(x.dtype)
+            )
 
         nan_flag = jnp.logical_or(nan_flag, ~jnp.all(jnp.isfinite(x)))
-        return (x, x0, h, jnp.asarray(False), nan_flag), None
+        return (x, x0, h, jnp.asarray(False), key, nan_flag), None
 
     init = (
         noise,
         jnp.zeros_like(noise),
         jnp.ones((), jnp.float32),
         jnp.asarray(True),
+        rng,
         jnp.asarray(False),
     )
-    (x, _, _, _, nan_flag), _ = jax.lax.scan(
+    (x, _, _, _, _, nan_flag), _ = jax.lax.scan(
         step, init, (time_steps[:-1], time_steps[1:])
     )
     if denoise_final:

@@ -26,6 +26,9 @@ Formula provenance (parity citations):
   (no reference analog; quality/cost extension)
 - DPM-Solver++(3M): same family, third-order multistep — exact-integrator
   A0/A1/A2 weights over a quadratic data extrapolant
+- SDE-DPM-Solver++(2M): the stochastic variant (Lu et al. 2022b; midpoint
+  multistep form) — per-step noise injection of strength eta with the
+  matching exponential decay, reducing exactly to 2M at eta = 0
 """
 
 from __future__ import annotations
@@ -46,6 +49,8 @@ __all__ = [
     "dpm_step",
     "dpm3_scalar_coeffs",
     "dpm3_data_estimate",
+    "dpm_sde_scalar_coeffs",
+    "dpm_sde_step",
 ]
 
 
@@ -246,3 +251,50 @@ def dpm3_scalar_coeffs(process, t_prev, t_cur, prev_h, prev2_h):
 def dpm3_data_estimate(x0, prev_x0, prev2_x0, w0, w1, w2):
     """Effective third-order data estimate D = w0 x0 + w1 prev + w2 prev2."""
     return w0 * x0 + w1 * prev_x0 + w2 * prev2_x0
+
+
+# -- SDE-DPM-Solver++(2M) ----------------------------------------------------
+
+def dpm_sde_scalar_coeffs(process, t_prev, t_cur, prev_h, eta):
+    """fp32 scalar coefficients of one SDE-DPM-Solver++(2M) update.
+
+    The stochastic second-order multistep solver (Lu et al. 2022b, in the
+    midpoint multistep form): with lambda = log(mu/sigma),
+    h = lambda(t_cur) - lambda(t_prev) > 0 and noise strength eta >= 0,
+
+        decay  = (sigma(t_cur)/sigma(t_prev)) exp(-eta h)
+        growth = mu(t_cur) (1 - exp(-(1 + eta) h))
+        corr   = growth (h / prev_h) / 2         (midpoint multistep term)
+        nscale = sigma(t_cur) sqrt(1 - exp(-2 eta h))
+
+        x <- decay x + growth x0 + corr (x0 - prev_x0) + nscale z
+
+    At eta = 0 this is EXACTLY DPM-Solver++(2M): decay = sigma ratio,
+    growth = -mu expm1(-h), and corr (x0 - prev_x0) equals the 2M
+    extrapolant correction growth/(2r) (x0 - prev_x0).  Each step's noise
+    injection is exchanged against a matched extra contraction of the
+    carried state, so the marginal law is preserved while trajectory-level
+    solver error is re-randomized instead of accumulated — the sampler-side
+    ensemble-dispersion lever that costs zero extra network evaluations
+    (unlike Langevin correctors, one more eval each).
+
+    Returns ``(h, decay, growth, corr, nscale)`` as jnp fp32 scalars.
+    """
+    lam_prev = jnp.log(process.mu(t_prev)) - jnp.log(process.sigma(t_prev))
+    lam_cur = jnp.log(process.mu(t_cur)) - jnp.log(process.sigma(t_cur))
+    h = lam_cur - lam_prev
+    decay = (process.sigma(t_cur) / process.sigma(t_prev)) * jnp.exp(-eta * h)
+    growth = -(jnp.expm1(-(1.0 + eta) * h)) * process.mu(t_cur)
+    corr = 0.5 * growth * (h / prev_h)
+    nscale = process.sigma(t_cur) * jnp.sqrt(-jnp.expm1(-2.0 * eta * h))
+    return h, decay, growth, corr, nscale
+
+
+def dpm_sde_step(x, x0, prev_x0, z, decay, growth, corr, nscale, use_multi):
+    """One SDE-DPM++(2M) update; ``use_multi`` gates the multistep term
+    (False on the first step, where prev_x0 is undefined)."""
+    x = decay * x + growth * x0 + nscale * z
+    d = corr * (x0 - prev_x0)
+    if isinstance(use_multi, bool):
+        return x + d if use_multi else x
+    return x + jnp.where(use_multi, d, jnp.zeros_like(d))

@@ -108,6 +108,7 @@ def _run_impl(
     batch_size: int = 16,
     host_streaming: bool = False,
     sampler_kind: str = "pc",
+    sde_eta: float = 0.0,
     long_trajectory_threshold: int = 512,
     ensemble_batch: int = 1,
     denoise_final: bool = False,
@@ -213,16 +214,22 @@ def _run_impl(
     from climate2weather_tpu.diffusion.sampler import SAMPLERS
 
     assert sampler_kind in SAMPLERS, (sampler_kind, sorted(SAMPLERS))
+    if sde_eta and sampler_kind != "dpmpp2m":
+        raise ValueError(
+            f"sde_eta applies to sampler_kind dpmpp2m only (got {sampler_kind!r};"
+            " the pc sampler's stochastic knob is num_corrections/tau)"
+        )
     sampler_fn = SAMPLERS[sampler_kind]
-    sampler_extra = (
-        dict(
+    if sampler_kind == "pc":
+        sampler_extra = dict(
             corrections=num_corrections,
             tau=correction_tau,
             corrector_variance_exact=corrector_variance_exact,
         )
-        if sampler_kind == "pc"
-        else {}
-    )
+    elif sampler_kind == "dpmpp2m":
+        sampler_extra = dict(sde_eta=float(sde_eta))
+    else:
+        sampler_extra = {}
     sampler_extra["denoise_final"] = denoise_final
     # Long trajectories use the NCHW memory-bounded sampler: NHWC trajectory
     # buffers with C=4 lane-pad 32x on TPU and blow HBM at year scale
@@ -273,6 +280,7 @@ def _run_impl(
                     process, eps_fn, params, noise_nchw,
                     traj_dtype=traj_dtype,
                     order=3 if sampler_kind == "dpmpp3m" else 2,
+                    sde_eta=float(sde_eta),
                     **common
                 )
             return sample_guided_long(

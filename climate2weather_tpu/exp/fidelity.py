@@ -74,6 +74,7 @@ def run(
     skip_figures: bool = False,
     denoise_final: bool = False,
     sampler_kind: str = "pc",
+    sde_eta: float = 0.0,
 ) -> dict:
     from climate2weather_tpu.exp import figures, metrics
 
@@ -99,6 +100,7 @@ def run(
         use_exact_grad=False,
         denoise_final=bool(denoise_final),
         sampler_kind=str(sampler_kind),
+        sde_eta=float(sde_eta),
     )
 
     print("=== guided (on-model-eval conditioning) ===")
@@ -161,6 +163,7 @@ def run(
         f"t_step={t_step} (reference on-model-eval protocol, "
         "exp/configs/000_on-model-eval/s16_t6.yml"
         + (f", sampler={sampler_kind}" if sampler_kind != "pc" else "")
+        + (f", sde_eta={sde_eta}" if sde_eta else "")
         + (", final-denoise" if denoise_final else "")
         + (f", {corrections} Langevin correction(s) tau={correction_tau}"
            + (", variance-exact noise" if corrector_variance_exact else "")
@@ -226,6 +229,8 @@ def main():
     @click.option("--sampler-kind", default="pc", show_default=True,
                   type=click.Choice(["pc", "dpmpp2m", "dpmpp3m"]),
                   help="reverse-process solver for both ensembles")
+    @click.option("--sde-eta", default=0.0, type=float,
+                  help="SDE-DPM-Solver++(2M) noise strength (dpmpp2m only)")
     def cli(**kw):
         run(**kw)
 

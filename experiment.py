@@ -23,6 +23,9 @@ def cli():
 @click.option("--corrector-variance-exact", type=bool, default=None,
               help="variance-exact Langevin corrector noise (see "
                    "diffusion/steprules.langevin_noise_scale)")
+@click.option("--sde-eta", type=float, default=None,
+              help="SDE-DPM-Solver++(2M) noise strength (sampler_kind "
+                   "dpmpp2m; 0 = deterministic)")
 @click.option("--batch-size", type=int, default=None)
 @click.option("--seed", type=int, default=None)
 @click.option("--observation-path", type=str, default=None)
@@ -105,6 +108,8 @@ def figures(kind, exp_dir, out_dir, compare):
 @click.option("--sampler-kind", type=click.Choice(["pc", "dpmpp2m", "dpmpp3m"]),
               default="pc", show_default=True,
               help="predictor family: reference PC, DPM++(2M), or DPM++(3M)")
+@click.option("--sde-eta", default=0.0, type=float, show_default=True,
+              help="SDE-DPM-Solver++(2M) noise strength (dpmpp2m only)")
 def fidelity(**kw):
     """Statistical acceptance: guided + unconditional ensembles, W2/MELR/SSIM
     for both, figures, and a FIDELITY.md table (exp/fidelity.py)."""

@@ -103,3 +103,53 @@ def test_dpmpp3m_warmup_matches_2m():
     y2, _ = sample_dpmpp2m(proc, sf, noise, steps=4)
     y3, _ = sample_dpmpp3m(proc, sf, noise, steps=4)
     assert not np.allclose(np.asarray(y3), np.asarray(y2))
+
+
+def test_sde_eta_zero_is_deterministic_2m(rng):
+    """sde_eta=0 must reproduce the deterministic solver exactly (the SDE
+    coefficients reduce to the 2M ones; steprules.dpm_sde_scalar_coeffs)."""
+    proc = VPCosineProcess()
+    sf = exact_gaussian_score(proc)
+    noise = jax.random.normal(rng, (2048,))
+    a, _ = sample_dpmpp2m(proc, sf, noise, steps=16)
+    b, _ = sample_dpmpp2m(proc, sf, noise, steps=16, sde_eta=0.0, rng=rng)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+
+
+def test_sde_dpmpp_gaussian_recovery(rng):
+    """The SDE solver must preserve the marginal law: exact N(0, I) score ->
+    ~N(0, I) samples at every noise strength."""
+    proc = VPCosineProcess()
+    sf = exact_gaussian_score(proc)
+    noise = jax.random.normal(rng, (8192,))
+    for eta in (0.5, 1.0, 2.0):
+        x, nan = jax.jit(
+            lambda n: sample_dpmpp2m(
+                proc, sf, n, steps=16, sde_eta=eta, rng=jax.random.PRNGKey(3)
+            )
+        )(noise)
+        assert not bool(nan)
+        assert abs(float(x.mean())) < 0.08, (eta, float(x.mean()))
+        assert abs(float(x.std()) - 1.0) < 0.1, (eta, float(x.std()))
+
+
+def test_sde_eta_reproducible_and_stochastic(rng):
+    proc = VPCosineProcess()
+    sf = exact_gaussian_score(proc)
+    noise = jax.random.normal(rng, (512,))
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    a1, _ = sample_dpmpp2m(proc, sf, noise, steps=8, sde_eta=1.0, rng=k1)
+    a2, _ = sample_dpmpp2m(proc, sf, noise, steps=8, sde_eta=1.0, rng=k1)
+    b, _ = sample_dpmpp2m(proc, sf, noise, steps=8, sde_eta=1.0, rng=k2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(b))
+
+
+def test_sde_eta_requires_rng():
+    import pytest
+
+    proc = VPCosineProcess()
+    sf = exact_gaussian_score(proc)
+    noise = jnp.zeros((8,))
+    with pytest.raises(ValueError, match="rng"):
+        sample_dpmpp2m(proc, sf, noise, steps=4, sde_eta=1.0)

@@ -326,3 +326,27 @@ def test_long_denoise_final_stepwise_cached(setup):
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     assert any("final" in key for key in cache)  # cached final program exists
+
+
+def test_dpmpp_long_sde_eta(setup, rng):
+    """SDE-DPM++(2M) in the long tier: eta=0 equals the deterministic long
+    solver; eta>0 runs guided, differs, and stays finite."""
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    common = dict(markov_order=k, chunk_size=4, steps=5, frame_chunk=5)
+    det, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise), guidance=None, **common
+    )
+    zero, _ = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise), guidance=None,
+        sde_eta=0.0, rng=rng, **common
+    )
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(det), rtol=1e-5,
+                               atol=1e-5)
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise), guidance=guidance,
+        sde_eta=1.0, rng=rng, **common
+    )
+    assert not bool(nan)
+    assert got.shape == to_nchw(noise).shape
+    assert np.isfinite(np.asarray(got)).all()
+    assert not np.allclose(np.asarray(got), np.asarray(det))
