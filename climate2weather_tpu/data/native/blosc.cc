@@ -49,6 +49,7 @@ constexpr int64_t kErrCapacity = -2;
 constexpr int64_t kErrUnsupportedCodec = -3;
 constexpr int64_t kErrBitShuffle = -4;
 constexpr int64_t kErrCorrupt = -5;
+constexpr int64_t kErrTooLarge = -6;  // blosc1 headers are uint32-limited
 
 inline uint32_t load_u32(const uint8_t* p) {
   return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
@@ -339,6 +340,9 @@ int64_t c2w_blosc_compress(const uint8_t* src, int64_t nbytes,
                            int64_t typesize, int32_t do_shuffle,
                            int64_t blocksize, uint8_t* dst, int64_t dstcap) {
   if (typesize < 1 || typesize > 255) return kErrCorrupt;
+  // c-blosc rejects nbytes > BLOSC_MAX_BUFFERSIZE (INT32_MAX - overhead);
+  // beyond that the uint32 header fields would silently wrap
+  if (nbytes < 0 || nbytes > 0x7FFFFFF0LL) return kErrTooLarge;
   if (dstcap < kHeaderSize + nbytes + nbytes / 16 + 64) return kErrCapacity;
   if (blocksize <= 0) blocksize = 32 * 1024;
   if (blocksize > nbytes) blocksize = nbytes;

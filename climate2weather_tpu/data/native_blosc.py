@@ -6,27 +6,19 @@ written by real zarr installs, whose default compressor is
 (round-2 ADVICE finding).  Also exposes the encoder so ``write_zarr`` can
 produce blosc-lz4 stores (~5-10x faster than zlib on weather fields).
 
-Built on first use with the system g++ (cached next to the source), like
-the native batch assembler (data/native_loader.py).  When no compiler is
-available, ``decompress``/``compress`` raise ``RuntimeError`` — callers
-surface the zlib-rewrite guidance instead.
+Built on first use via the shared scaffolding (data/native_build.py).
+When no compiler is available, ``decompress``/``compress`` raise
+``RuntimeError`` — callers surface the zlib-rewrite guidance instead.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
-_SRC_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_SRC_DIR, "libc2wblosc.so")
-_LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_TRIED = False
+from climate2weather_tpu.data.native_build import load_native
 
 _ERRORS = {
     -1: "truncated chunk",
@@ -36,50 +28,27 @@ _ERRORS = {
         "or blosc-lz4)",
     -4: "bit-shuffle filter not supported (byte-shuffle only)",
     -5: "corrupt chunk",
+    -6: "buffer too large for the blosc1 format (2 GiB chunk limit)",
 }
 
 
-def _build() -> bool:
-    src = os.path.join(_SRC_DIR, "blosc.cc")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _SO_PATH]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # no compiler / build failure
-        print(f"native blosc build failed ({e})")
-        return False
+def _bind(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.c2w_blosc_nbytes.argtypes = [u8p, ctypes.c_int64]
+    lib.c2w_blosc_nbytes.restype = ctypes.c_int64
+    lib.c2w_blosc_decompress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.c2w_blosc_decompress.restype = ctypes.c_int64
+    lib.c2w_blosc_compress.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, u8p, ctypes.c_int64,
+    ]
+    lib.c2w_blosc_compress.restype = ctypes.c_int64
+    lib.c2w_blosc_abi_version.restype = ctypes.c_int64
+    assert lib.c2w_blosc_abi_version() == 1
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    with _LOCK:
-        if _LIB is not None or _TRIED:
-            return _LIB
-        _TRIED = True
-        src = os.path.join(_SRC_DIR, "blosc.cc")
-        if not os.path.exists(_SO_PATH):
-            if not (os.path.exists(src) and _build()):
-                return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            if not _build():
-                return None
-            lib = ctypes.CDLL(_SO_PATH)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.c2w_blosc_nbytes.argtypes = [u8p, ctypes.c_int64]
-        lib.c2w_blosc_nbytes.restype = ctypes.c_int64
-        lib.c2w_blosc_decompress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
-        lib.c2w_blosc_decompress.restype = ctypes.c_int64
-        lib.c2w_blosc_compress.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int64, u8p, ctypes.c_int64,
-        ]
-        lib.c2w_blosc_compress.restype = ctypes.c_int64
-        lib.c2w_blosc_abi_version.restype = ctypes.c_int64
-        assert lib.c2w_blosc_abi_version() == 1
-        _LIB = lib
-        return _LIB
+    return load_native("blosc.cc", "libc2wblosc.so", _bind)
 
 
 def available() -> bool:

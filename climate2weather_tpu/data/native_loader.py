@@ -1,75 +1,38 @@
 """ctypes binding for the native batch assembler (data/native/loader.cc).
 
-Builds the shared library on first use with the system g++ (cached next to
-the source); falls back to the pure-numpy path when no compiler is
-available.  The native path applies only to RAM-cached datasets — the gather
-+ transpose is the CPU-bound step, and C++ threads bypass the GIL.
+Built on first use via the shared scaffolding (data/native_build.py); falls
+back to the pure-numpy path when no compiler is available.  The native path
+applies only to RAM-cached datasets — the gather + transpose is the
+CPU-bound step, and C++ threads bypass the GIL.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
-_SRC_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_SRC_DIR, "libc2wloader.so")
-_LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_TRIED = False
+from climate2weather_tpu.data.native_build import load_native
 
 
-def _build() -> bool:
-    # -march=native is safe: the library is always built on the machine that
-    # runs it (never shipped; *.so is gitignored so a foreign binary cannot
-    # be loaded and SIGILL mid-training).
-    src = os.path.join(_SRC_DIR, "loader.cc")
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        src, "-o", _SO_PATH,
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.c2w_assemble_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # data
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),  # indices
+        ctypes.c_int64,                  # n
+        ctypes.c_int64,                  # window
+        ctypes.POINTER(ctypes.c_float),  # out
+        ctypes.c_int64,                  # num_threads
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # no compiler / build failure -> numpy fallback
-        print(f"native loader build failed ({e}); using numpy fallback")
-        return False
+    lib.c2w_assemble_batch.restype = None
+    lib.c2w_abi_version.restype = ctypes.c_int64
+    assert lib.c2w_abi_version() == 1
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    with _LOCK:
-        if _LIB is not None or _TRIED:
-            return _LIB
-        _TRIED = True
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_SRC_DIR, "loader.cc")
-            if not (os.path.exists(src) and _build()):
-                return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            if not _build():
-                return None
-            lib = ctypes.CDLL(_SO_PATH)
-        lib.c2w_assemble_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_float),  # data
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),  # indices
-            ctypes.c_int64,                  # n
-            ctypes.c_int64,                  # window
-            ctypes.POINTER(ctypes.c_float),  # out
-            ctypes.c_int64,                  # num_threads
-        ]
-        lib.c2w_assemble_batch.restype = None
-        lib.c2w_abi_version.restype = ctypes.c_int64
-        assert lib.c2w_abi_version() == 1
-        _LIB = lib
-        return _LIB
+    return load_native("loader.cc", "libc2wloader.so", _bind)
 
 
 def assemble_batch(

@@ -69,10 +69,17 @@ def run(
     with open(config_path) as f:
         config = yaml.safe_load(f)
 
-    for k, v in config.items():
-        if k in kwargs and kwargs[k] is not None:
-            print(f">>> CONFIG: Overwriting value for {k}: {v} -> {kwargs[k]}")
-            config[k] = kwargs[k]
+    for k, v in kwargs.items():
+        if v is None:
+            continue
+        # apply CLI overrides even when the YAML lacks the key — older
+        # configs predate newer knobs (sde_eta, corrector_variance_exact,
+        # ...), and silently dropping the flag would run the wrong sampler
+        if k in config:
+            print(f">>> CONFIG: Overwriting value for {k}: {config[k]} -> {v}")
+        else:
+            print(f">>> CONFIG: Setting {k} = {v}")
+        config[k] = v
 
     if jax.process_index() == 0:
         save_path.mkdir(parents=True, exist_ok=False)
@@ -218,6 +225,11 @@ def _run_impl(
         raise ValueError(
             f"sde_eta applies to sampler_kind dpmpp2m only (got {sampler_kind!r};"
             " the pc sampler's stochastic knob is num_corrections/tau)"
+        )
+    if host_streaming and sampler_kind != "pc":
+        raise ValueError(
+            f"host_streaming implements the PC sampler only (got "
+            f"{sampler_kind!r}); drop host_streaming or use sampler_kind: pc"
         )
     sampler_fn = SAMPLERS[sampler_kind]
     if sampler_kind == "pc":

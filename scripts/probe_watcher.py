@@ -31,6 +31,8 @@ SNAP_RE = re.compile(r"network-snapshot-(\d{7})-([\d.]+)$")
 def due_snapshots(run_dir: pathlib.Path, rate: str, every_mi: int):
     """(kdata, path) for snapshots on the cadence, sorted ascending."""
     out = []
+    if not run_dir.is_dir():  # trainer may not have created it yet
+        return out
     for p in run_dir.iterdir():
         m = SNAP_RE.match(p.name)
         if not m or m.group(2) != rate:
@@ -62,12 +64,16 @@ def main() -> None:
     probe_root = pathlib.Path(args.probe_root)
     probe_root.mkdir(parents=True, exist_ok=True)
     idle = 0
+    failures: dict[int, int] = {}
+    max_failures = 3
     while idle < args.max_idle_polls:
-        ran = False
+        succeeded = False
         for kdata, snap in due_snapshots(run_dir, args.rate, args.every_mi):
             out = probe_root / str(kdata)
             if (out / "FIDELITY.md").exists():
                 continue  # probed already
+            if failures.get(kdata, 0) >= max_failures:
+                continue  # permanently failing snapshot: give up, don't spin
             print(f"[probe_watcher] probing {snap.name} -> {out}", flush=True)
             cmd = [
                 sys.executable, "-m", "climate2weather_tpu.exp.fidelity",
@@ -83,8 +89,13 @@ def main() -> None:
             ]
             rc = subprocess.run(cmd).returncode
             print(f"[probe_watcher] {snap.name} rc={rc}", flush=True)
-            ran = True
-        idle = 0 if ran else idle + 1
+            if rc == 0:
+                succeeded = True
+            else:
+                failures[kdata] = failures.get(kdata, 0) + 1
+        # only a successful probe resets the idle clock: a permanently
+        # failing probe must not keep the watcher alive forever
+        idle = 0 if succeeded else idle + 1
         time.sleep(args.poll_sec)
     print("[probe_watcher] idle limit reached; exiting", flush=True)
 
