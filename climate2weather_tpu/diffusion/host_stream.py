@@ -211,3 +211,131 @@ def sample_host(
         if not np.isfinite(x).all():
             raise FloatingPointError("NaN detected in final denoise")
     return x
+
+
+def sample_host_dpm(
+    process,
+    score_fn: HostStreamingScoreFn,
+    noise: np.ndarray,
+    *,
+    steps: int = 64,
+    sde_eta: float = 0.0,
+    guidance_A: Optional[NumpyCoarsening] = None,
+    guidance_y: Optional[np.ndarray] = None,
+    guidance_std=1e-2,
+    guidance_gamma=1e-2,
+    seed: int = 0,
+    verbose: bool = False,
+    proc_x0=None,
+    denoise_final: bool = False,
+    frame_slab: int = 256,
+) -> np.ndarray:
+    """DPM-Solver++(2M) over a host-resident trajectory (log-SNR spacing),
+    with the optional SDE form (``sde_eta > 0``; see
+    sampler.sample_dpmpp2m).  Gives beyond-HBM trajectories the same
+    ~4x step-count reduction as the device tiers (64 DPM++ steps vs 256 PC
+    steps at comparable quality).
+
+    Memory: one more trajectory-sized buffer than :func:`sample_host` (the
+    previous x0 prediction), peak ~3 trajectory buffers plus the guidance
+    adjoint temporary.  All update arithmetic runs over ``frame_slab``-sized
+    slabs so numpy never materializes a trajectory-sized expression
+    temporary; SDE noise is drawn per slab for the same reason.
+    """
+    from climate2weather_tpu.diffusion import steprules
+    from climate2weather_tpu.diffusion.sampler import logsnr_time_grid
+
+    if sde_eta < 0:
+        raise ValueError(f"sde_eta must be >= 0, got {sde_eta}")
+    x = np.asarray(noise, np.float32).copy()
+    L = x.shape[0]
+    if guidance_A is not None:
+        expected_lo = -(-L // guidance_A.t_step)
+        if guidance_y.shape[0] != expected_lo:
+            raise ValueError(
+                f"observation has {guidance_y.shape[0]} time rows; the "
+                f"{L}-frame trajectory with t_step={guidance_A.t_step} "
+                f"requires exactly {expected_lo}"
+            )
+    rng = np.random.RandomState(seed)
+    time_steps = np.asarray(logsnr_time_grid(process, steps), np.float64)
+    std = np.asarray(guidance_std, np.float32)
+    gamma = np.asarray(guidance_gamma, np.float32)
+
+    def guided_eps(x, t):
+        eps = score_fn(x, float(t))
+        if guidance_A is None:
+            return eps
+        mu = float(process.mu(t))
+        sigma = float(process.sigma(t))
+        # A is linear: A(x0) = (A(x) - sigma A(eps)) / mu (see sample_host)
+        a_x0 = (guidance_A(x) - sigma * guidance_A(eps)) / mu
+        err = (guidance_y - a_x0) / (std**2 + gamma * (sigma / mu) ** 2)
+        adj = guidance_A.adjoint(err.astype(np.float32), L)
+        adj *= sigma / mu
+        eps -= adj
+        return eps
+
+    slabs = [slice(s, min(s + frame_slab, L)) for s in range(0, L, frame_slab)]
+    prev_x0: Optional[np.ndarray] = None
+    prev_h = 1.0
+    for i, (t_prev, t_cur) in enumerate(zip(time_steps[:-1], time_steps[1:])):
+        mu = float(process.mu(t_prev))
+        sigma = float(process.sigma(t_prev))
+        x0 = guided_eps(x, t_prev)  # consumed: becomes the x0 buffer
+        for sl in slabs:  # x0 = (x - sigma eps)/mu, slab-wise in place
+            np.multiply(x0[sl], -sigma / mu, out=x0[sl])
+            x0[sl] += x[sl] / mu
+        if proc_x0 is not None:
+            p = proc_x0(x0)
+            if p is not x0:
+                x0[...] = p
+        if sde_eta > 0:
+            h, decay, growth, corr, nscale = (
+                float(v)
+                for v in steprules.dpm_sde_scalar_coeffs(
+                    process, t_prev, t_cur, prev_h, sde_eta
+                )
+            )
+            for sl in slabs:
+                x[sl] *= decay
+                if prev_x0 is None:
+                    x[sl] += growth * x0[sl]
+                else:
+                    x[sl] += (growth + corr) * x0[sl]
+                    x[sl] -= corr * prev_x0[sl]
+                x[sl] += (nscale * rng.standard_normal(x[sl].shape)).astype(
+                    np.float32
+                )
+        else:
+            h, sigma_ratio, growth, c_cur, c_prev = (
+                float(v)
+                for v in steprules.dpm_scalar_coeffs(
+                    process, t_prev, t_cur, prev_h
+                )
+            )
+            for sl in slabs:
+                x[sl] *= sigma_ratio
+                if prev_x0 is None:  # first step: D = x0
+                    x[sl] += growth * x0[sl]
+                else:
+                    x[sl] += (growth * c_cur) * x0[sl]
+                    x[sl] -= (growth * c_prev) * prev_x0[sl]
+        prev_x0 = x0  # the old prev_x0 buffer is garbage-collected
+        prev_h = h
+        if not np.isfinite(x).all():
+            raise FloatingPointError(f"NaN detected in sample at step {i}")
+        if verbose and (i % 16 == 0 or i == steps - 1):
+            print(f"host-stream dpm sampling: step {i + 1}/{steps}")
+    if denoise_final:
+        mu0 = float(process.mu(0.0))
+        sigma0 = float(process.sigma(0.0))
+        eps = guided_eps(x, 0.0)
+        eps *= sigma0
+        x -= eps
+        x /= mu0
+        if proc_x0 is not None:
+            x = proc_x0(x)
+        if not np.isfinite(x).all():
+            raise FloatingPointError("NaN detected in final denoise")
+    return x

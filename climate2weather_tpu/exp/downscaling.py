@@ -226,10 +226,10 @@ def _run_impl(
             f"sde_eta applies to sampler_kind dpmpp2m only (got {sampler_kind!r};"
             " the pc sampler's stochastic knob is num_corrections/tau)"
         )
-    if host_streaming and sampler_kind != "pc":
+    if host_streaming and sampler_kind not in ("pc", "dpmpp2m"):
         raise ValueError(
-            f"host_streaming implements the PC sampler only (got "
-            f"{sampler_kind!r}); drop host_streaming or use sampler_kind: pc"
+            f"host_streaming implements the pc and dpmpp2m samplers only "
+            f"(got {sampler_kind!r})"
         )
     sampler_fn = SAMPLERS[sampler_kind]
     if sampler_kind == "pc":
@@ -369,6 +369,7 @@ def _run_impl(
                 HostStreamingScoreFn,
                 NumpyCoarsening,
                 sample_host,
+                sample_host_dpm,
             )
 
             host_sf = HostStreamingScoreFn(
@@ -377,14 +378,8 @@ def _run_impl(
             assert not use_exact_grad, (
                 "host_streaming supports the detached guidance mode only"
             )
-            gen = sample_host(
-                process,
-                host_sf,
-                np.asarray(jax.device_get(noise)),
+            host_common = dict(
                 steps=num_sampling_steps,
-                corrections=num_corrections,
-                tau=correction_tau,
-                corrector_variance_exact=corrector_variance_exact,
                 guidance_A=NumpyCoarsening(s_step, t_step) if do_condition else None,
                 guidance_y=np.asarray(jax.device_get(observation))
                 if do_condition
@@ -395,6 +390,24 @@ def _run_impl(
                 verbose=rank == 0,
                 denoise_final=denoise_final,
             )
+            if sampler_kind == "dpmpp2m":
+                gen = sample_host_dpm(
+                    process,
+                    host_sf,
+                    np.asarray(jax.device_get(noise)),
+                    sde_eta=float(sde_eta),
+                    **host_common,
+                )
+            else:
+                gen = sample_host(
+                    process,
+                    host_sf,
+                    np.asarray(jax.device_get(noise)),
+                    corrections=num_corrections,
+                    tau=correction_tau,
+                    corrector_variance_exact=corrector_variance_exact,
+                    **host_common,
+                )
             nan_flag = False
         else:
             from climate2weather_tpu.utils.fetch import fetch_as_float32
