@@ -321,23 +321,102 @@ def _make_final_denoise(
     return final_denoise
 
 
-def _stepwise_drive(run_chunk, carry, xs, k, total_steps, verbose):
+def _save_carry(path, carry, step, digest):
+    """Atomically persist a sampler carry pytree (resume checkpoint).
+
+    bf16 leaves are stored as uint16 views (the .npy format has no bfloat16);
+    dtypes are recorded and restored on load.
+    """
+    import os
+
+    import numpy as np
+
+    leaves = [np.asarray(x) for x in jax.device_get(jax.tree_util.tree_leaves(carry))]
+    payload = {"step": np.int64(step), "digest": np.str_(digest),
+               "dtypes": np.asarray([str(l.dtype) for l in leaves])}
+    for j, leaf in enumerate(leaves):
+        payload[f"a{j}"] = (
+            leaf.view(np.uint16) if str(leaf.dtype) == "bfloat16" else leaf
+        )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _load_carry(path, init, digest):
+    """Restore a carry saved by _save_carry; returns (carry, step).
+
+    Falls back to ``(init, 0)`` on any mismatch (missing/corrupt file,
+    different sampler config digest, structure drift) — a resume must never
+    be less safe than starting over.
+    """
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(path):
+        return init, 0
+    try:
+        z = np.load(path, allow_pickle=False)
+        if str(z["digest"]) != digest:
+            return init, 0
+        leaves, treedef = jax.tree_util.tree_flatten(init)
+        dtypes = [str(d) for d in z["dtypes"]]
+        if len(dtypes) != len(leaves):
+            return init, 0
+        new = []
+        for j, (ref, dt) in enumerate(zip(leaves, dtypes)):
+            raw = z[f"a{j}"]
+            if dt == "bfloat16":
+                raw = raw.view(jnp.bfloat16)
+            if raw.shape != ref.shape or str(raw.dtype) != str(ref.dtype):
+                return init, 0
+            new.append(jnp.asarray(raw))
+        return jax.tree_util.tree_unflatten(treedef, new), int(z["step"])
+    except Exception as e:
+        print(f"sampler resume: ignoring unreadable checkpoint {path} ({e})",
+              flush=True)
+        return init, 0
+
+
+def _stepwise_drive(run_chunk, carry, xs, k, total_steps, verbose, ckpt=None):
     """Drive a scan in chunks of k leading-axis elements from Python.
 
     At most two program shapes compile (full chunks + one remainder); the
     NaN flag (last carry element) is checked between calls so a poisoned
     run stops early like the reference's mid-sampling raise.
+
+    ``ckpt = (path, every_calls, digest)`` enables crash/wedge-resumable
+    sampling: the carry is persisted every ``every_calls`` chunks (atomic
+    write; fetched on the main thread — background-thread device reads
+    starve behind a dispatching main thread) and restored on the next
+    invocation with the same path + config digest.  The fetch costs one
+    trajectory download per save, so pick the cadence against the relay
+    bandwidth; the file is removed on successful completion.
     """
+    import os
+
     n = int(xs.shape[0])
     i = 0
+    calls = 0
+    if ckpt is not None:
+        path, every, digest = ckpt
+        carry, i = _load_carry(path, carry, digest)
+        if i and verbose:
+            print(f"sampling: resumed at step {i}/{total_steps}", flush=True)
     while i < n:
         j = min(i + k, n)
         carry = run_chunk(carry, xs[i:j])
         i = j
+        calls += 1
         if verbose:
             print(f"sampling: step {i}/{total_steps}", flush=True)
         if bool(jax.device_get(carry[-1])):
             break
+        if ckpt is not None and i < n and calls % every == 0:
+            _save_carry(path, carry, i, digest)
+    if ckpt is not None and os.path.exists(path):
+        os.remove(path)
     return carry[0], carry[-1]
 
 
@@ -362,8 +441,15 @@ def sample_guided_long(
     jit_cache: Optional[dict] = None,
     proc_x0: Optional[Callable] = None,
     denoise_final: bool = False,
+    resume_path: Optional[str] = None,
+    resume_every: int = 8,
 ):
     """Guided PC sampling with memory bounded in the trajectory length.
+
+    ``resume_path`` (stepwise mode only) makes the run crash/wedge-resumable:
+    the carry is persisted there every ``resume_every`` jitted calls and
+    restored on relaunch when the sampler config digest matches (see
+    ``_stepwise_drive``); removed on success.
 
     ``denoise_final`` adds one guided score pass at t=0 and returns the
     posterior-mean estimate instead of the re-noised state, removing the
@@ -524,8 +610,9 @@ def sample_guided_long(
         ),
     )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
+    ckpt = (resume_path, int(resume_every), repr(statics)) if resume_path else None
     x, nan_flag = _stepwise_drive(
-        run_chunk, init, time_steps, steps_per_call, steps, verbose
+        run_chunk, init, time_steps, steps_per_call, steps, verbose, ckpt=ckpt
     )
     if denoise_final:
         fin_p = _jit_cache_lookup(
@@ -557,6 +644,8 @@ def sample_dpmpp2m_long(
     denoise_final: bool = False,
     order: int = 2,
     sde_eta: float = 0.0,
+    resume_path: Optional[str] = None,
+    resume_every: int = 8,
 ):
     """DPM-Solver++(2M) (see sampler.sample_dpmpp2m) in the NCHW
     memory-bounded form: one extra [L, C, H, W] buffer carries the previous
@@ -749,8 +838,9 @@ def sample_dpmpp2m_long(
         ),
     )
     run_chunk = lambda carry, ts: run_chunk_p(params, carry, ts)
+    ckpt = (resume_path, int(resume_every), repr(statics)) if resume_path else None
     x, nan_flag = _stepwise_drive(
-        run_chunk, init, ts_pairs, steps_per_call, steps, verbose
+        run_chunk, init, ts_pairs, steps_per_call, steps, verbose, ckpt=ckpt
     )
     if denoise_final:
         fin_p = _jit_cache_lookup(

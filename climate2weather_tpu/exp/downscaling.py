@@ -119,6 +119,7 @@ def _run_impl(
     long_trajectory_threshold: int = 512,
     ensemble_batch: int = 1,
     denoise_final: bool = False,
+    sample_resume_every: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -261,6 +262,9 @@ def _run_impl(
         # progress is reported per chunk.  The shared jit cache makes the
         # compiled chunk program reusable across the per-sample loop.
         _long_jit_cache: dict = {}
+        # set by the sample loop before each call; read here to name the
+        # per-sample resume checkpoint (sample_resume_every > 0)
+        _cur_sample = {"id": 0}
 
         def sample_one(params, observation, noise_nchw, rng):
             guidance = (
@@ -283,6 +287,11 @@ def _run_impl(
                 jit_cache=_long_jit_cache,
                 denoise_final=denoise_final,
             )
+            if sample_resume_every > 0:
+                common["resume_path"] = os.path.join(
+                    save_path, f".sample_resume_{_cur_sample['id']:03d}.npz"
+                )
+                common["resume_every"] = int(sample_resume_every)
             if sampler_kind in ("dpmpp2m", "dpmpp3m"):
                 # the multistep carry needs ~5 trajectory buffers (6 at
                 # order 3); go bf16 beyond ~4000 frames to stay within a
@@ -445,6 +454,8 @@ def _run_impl(
                 gen = fetch_as_float32(gen_b[: len(group)])
                 nan_per_sample = np.asarray(jax.device_get(nan_b))[: len(group)]
             else:
+                if use_long:
+                    _cur_sample["id"] = sample_id
                 gen, nan_flag = sample_one(params, observation, noise, skey)
                 gen = fetch_as_float32(gen)
                 nan_per_sample = np.asarray([bool(jax.device_get(nan_flag))])

@@ -350,3 +350,107 @@ def test_dpmpp_long_sde_eta(setup, rng):
     assert got.shape == to_nchw(noise).shape
     assert np.isfinite(np.asarray(got)).all()
     assert not np.allclose(np.asarray(got), np.asarray(det))
+
+
+def test_stepwise_resume_checkpoint(tmp_path):
+    """_stepwise_drive's resume contract: a crashed run restarts from the
+    last persisted carry and reproduces the uninterrupted result exactly;
+    a config-digest mismatch restarts from scratch; the checkpoint file is
+    removed on success."""
+    import os
+
+    from climate2weather_tpu.diffusion.long_sampler import _stepwise_drive
+
+    xs = jnp.arange(10, dtype=jnp.float32)
+
+    def run_chunk(carry, chunk):
+        acc, nan = carry
+        return (acc + jnp.sum(chunk) + 1.0, nan)
+
+    init = (jnp.zeros((), jnp.float32), jnp.asarray(False))
+    want, _ = _stepwise_drive(run_chunk, init, xs, 2, 10, False)
+
+    # crash after 3 calls, then resume
+    path = str(tmp_path / "resume.npz")
+    calls = {"n": 0}
+
+    def crashing(carry, chunk):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("simulated wedge")
+        return run_chunk(carry, chunk)
+
+    try:
+        _stepwise_drive(crashing, init, xs, 2, 10, False, ckpt=(path, 1, "cfg"))
+    except RuntimeError:
+        pass
+    assert os.path.exists(path)
+    resumed_calls = {"n": 0}
+
+    def counting(carry, chunk):
+        resumed_calls["n"] += 1
+        return run_chunk(carry, chunk)
+
+    got, _ = _stepwise_drive(counting, init, xs, 2, 10, False, ckpt=(path, 1, "cfg"))
+    np.testing.assert_allclose(float(got), float(want))
+    assert resumed_calls["n"] == 2  # 3 of 5 chunks were done pre-crash
+    assert not os.path.exists(path)  # removed on success
+
+    # digest mismatch -> full restart
+    try:
+        _stepwise_drive(crashing, init, xs, 2, 10, False, ckpt=(path, 1, "cfg"))
+    except RuntimeError:
+        pass
+    fresh_calls = {"n": 0}
+
+    def counting2(carry, chunk):
+        fresh_calls["n"] += 1
+        return run_chunk(carry, chunk)
+
+    got2, _ = _stepwise_drive(
+        counting2, init, xs, 2, 10, False, ckpt=(path, 1, "OTHER")
+    )
+    np.testing.assert_allclose(float(got2), float(want))
+    assert fresh_calls["n"] == 5
+
+
+def test_stepwise_resume_bf16_roundtrip(tmp_path):
+    """bf16 carry leaves survive the uint16-view save/load."""
+    from climate2weather_tpu.diffusion.long_sampler import (
+        _load_carry,
+        _save_carry,
+    )
+
+    path = str(tmp_path / "c.npz")
+    carry = (
+        jnp.linspace(-3, 7, 24, dtype=jnp.bfloat16).reshape(4, 6),
+        jax.random.PRNGKey(3),
+        jnp.asarray(False),
+    )
+    _save_carry(path, carry, 6, "dig")
+    got, step = _load_carry(path, carry, "dig")
+    assert step == 6
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(carry)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_guided_long_resume_path_noop_on_clean_run(setup, rng, tmp_path):
+    """resume_path must not change a clean run's result (it only adds
+    persistence), and the file must be cleaned up."""
+    import os
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    common = dict(markov_order=k, chunk_size=4, guidance=guidance, steps=4,
+                  frame_chunk=5, steps_per_call=2)
+    want, _ = sample_guided_long(proc, eps_fn, params, to_nchw(noise), **common)
+    path = str(tmp_path / "r.npz")
+    got, nan = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        resume_path=path, resume_every=1, **common
+    )
+    assert not bool(nan)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert not os.path.exists(path)
