@@ -199,13 +199,22 @@ def _run_impl(
     eps_fn = make_batched_eps_fn(net.apply)
 
     # multi-chip: shard the window batch over the mesh (sequence parallelism
-    # over ICI, SURVEY.md §2.5) — samples stay whole, windows split
+    # over ICI, SURVEY.md §2.5) — samples stay whole, windows split.
+    # Under multiple PROCESSES the cross-process parallelism is sample
+    # striping (each process runs its own samples, reference
+    # exp/downscaling.py:96-99), so the window mesh must span only this
+    # process's local devices — a global mesh would require all processes
+    # to execute the same sample together and deadlocks when they stripe.
     win_sharding = None
-    if jax.device_count() > 1:
+    _local_only = jax.process_count() > 1
+    _n_shard = jax.local_device_count() if _local_only else jax.device_count()
+    if _n_shard > 1:
         from climate2weather_tpu.parallel.mesh import make_mesh, window_sharding
 
-        win_sharding = window_sharding(make_mesh())
-        print(f"Sharding window batches over {jax.device_count()} devices")
+        _mesh_devices = jax.local_devices() if _local_only else None
+        win_sharding = window_sharding(make_mesh(devices=_mesh_devices))
+        print(f"Sharding window batches over {_n_shard} devices"
+              + (" (process-local)" if _local_only else ""))
     if do_condition:
         print(f"Observation shape: {observation.shape}")
         sigma = per_channel(
@@ -435,7 +444,9 @@ def _run_impl(
 
                     from climate2weather_tpu.parallel.mesh import make_mesh
 
-                    mesh = make_mesh()
+                    # process-local mesh under multi-process (see the
+                    # win_sharding comment above)
+                    mesh = make_mesh(devices=_mesh_devices)
                     n_mesh = int(mesh.devices.size)
                     run_eb = -(-eb // n_mesh) * n_mesh
                     es = NamedSharding(mesh, P(("data", "window")))
