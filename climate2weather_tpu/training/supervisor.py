@@ -45,6 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -67,6 +68,14 @@ class SupervisorConfig:
     # multi-day run survives rare periodic wedges while a crash loop
     # (max_restarts failures back to back) still aborts quickly.
     restart_window: float = 6 * 3600.0
+    # When set, ``startup_grace`` applies until a line MATCHING this regex
+    # is seen (not just any line).  The trainer prints setup lines within
+    # seconds but then compiles silently for many minutes before its first
+    # ``Status:`` line — with a tight stall_timeout and any-line liveness,
+    # every (re)start would be falsely killed mid-compile, looping forever.
+    # run_training.sh passes ``--steady-pattern 'Status:'``.  None keeps
+    # the original any-line behavior.
+    steady_pattern: str | None = None
 
 
 @dataclass
@@ -80,8 +89,9 @@ class SupervisorResult:
 class _ChildMonitor:
     """Owns one child process: forwards its stdout, tracks liveness."""
 
-    def __init__(self, cmd: list[str], log_file):
+    def __init__(self, cmd: list[str], log_file, steady_re=None):
         self._log_file = log_file
+        self._steady_re = steady_re
         self.last_output = time.monotonic()
         self.saw_output = False
         # New session => the child and everything it spawns form a process
@@ -99,7 +109,10 @@ class _ChildMonitor:
         assert self.proc.stdout is not None
         for line in iter(self.proc.stdout.readline, b""):
             self.last_output = time.monotonic()
-            self.saw_output = True
+            if self._steady_re is None or self._steady_re.search(
+                line.decode("utf-8", "replace")
+            ):
+                self.saw_output = True
             # Child output always reaches the supervisor's stdout (the
             # supervisor is a transparent wrapper); --log adds a file copy.
             sys.stdout.buffer.write(line)
@@ -173,9 +186,10 @@ def supervise(cfg: SupervisorConfig, _sleep=time.sleep) -> SupervisorResult:
     except ValueError:
         pass
     try:
+        steady_re = re.compile(cfg.steady_pattern) if cfg.steady_pattern else None
         while True:
             record("start", cmd=cfg.cmd, restarts=len(restart_times))
-            child = _ChildMonitor(cfg.cmd, log_file)
+            child = _ChildMonitor(cfg.cmd, log_file, steady_re)
             while True:
                 code = child.poll()
                 if code is not None:
@@ -230,6 +244,11 @@ def main(argv=None) -> int:
     parser.add_argument("--restart-delay", type=float, default=10.0)
     parser.add_argument("--log", dest="log_path", default=None)
     parser.add_argument("--journal", dest="journal_path", default=None)
+    parser.add_argument(
+        "--steady-pattern", dest="steady_pattern", default=None,
+        help="regex; startup_grace applies until a line matches it "
+             "(e.g. 'Status:'), instead of until any output line",
+    )
     parser.add_argument("cmd", nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
     cmd = args.cmd
@@ -247,6 +266,7 @@ def main(argv=None) -> int:
         restart_delay=args.restart_delay,
         log_path=args.log_path,
         journal_path=args.journal_path,
+        steady_pattern=args.steady_pattern,
     )
     return supervise(cfg).exit_code
 

@@ -24,6 +24,7 @@ if [ -z "${C2W_NO_SUPERVISOR:-}" ]; then
   mkdir -p "$RUN_DIR/$RUN_ID"
   LAUNCH=(python -m climate2weather_tpu.training.supervisor
     --stall-timeout 900 --max-restarts 8
+    --steady-pattern 'Status:'
     --journal "$RUN_DIR/$RUN_ID/supervisor.jsonl"
     -- python train.py)
 fi

@@ -140,3 +140,33 @@ def test_cli_runs_command(tmp_path):
     )
     assert code == 0
     assert journal.exists()
+
+
+def test_steady_pattern_gates_stall_timeout(tmp_path):
+    """With --steady-pattern, non-matching setup lines keep the child under
+    startup_grace (a silent post-print compile is not a stall); the first
+    matching line arms the steady stall_timeout."""
+    # Child: prints a setup line, then is silent for 6 s (> stall_timeout,
+    # < startup_grace) before its first Status line -> must NOT be killed.
+    child = (
+        "import time\n"
+        "print('Setting up...', flush=True)\n"
+        "time.sleep(6)\n"
+        "print('Status: +++ 0', flush=True)\n"
+    )
+    res = supervise(
+        _cfg([PY, "-c", child], stall_timeout=3.0, steady_pattern="Status:")
+    )
+    assert res.exit_code == 0 and res.stalls == 0
+
+    # After a Status line, a silence > stall_timeout IS a stall.
+    child2 = (
+        "import time\n"
+        "print('Status: +++ 0', flush=True)\n"
+        "time.sleep(30)\n"
+    )
+    res2 = supervise(
+        _cfg([PY, "-c", child2], stall_timeout=3.0, max_restarts=0,
+             steady_pattern="Status:")
+    )
+    assert res2.stalls == 1
