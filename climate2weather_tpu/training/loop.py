@@ -54,6 +54,32 @@ from climate2weather_tpu.utils.registry import construct_class_by_name
 from climate2weather_tpu.utils.seeding import derive_seed, set_random_seed
 
 
+def _fetch_with_heartbeat(tree, interval_s: float = 10.0):
+    """device_get a pytree leaf by leaf, printing a heartbeat line while
+    the transfer runs.
+
+    The ~1.4 GB training-state fetch takes tens of seconds over a slow
+    accelerator link and is otherwise completely silent — to the stall
+    supervisor a slow-but-alive fetch is indistinguishable from a wedged
+    runtime (observed live: a checkpoint-boundary fetch stalled for
+    minutes and was killed).  Any output line resets the supervisor's
+    idle clock, so a heartbeat keeps slow fetches alive while a true
+    wedge (no leaf completing within the stall timeout) is still caught.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    t_last = time.monotonic()
+    for i, leaf in enumerate(leaves):
+        out.append(np.asarray(jax.device_get(leaf)))
+        now = time.monotonic()
+        if now - t_last >= interval_s:
+            print(
+                f"checkpoint fetch: {i + 1}/{len(leaves)} arrays", flush=True
+            )
+            t_last = now
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def training_loop(
     run_dir,
     *,
@@ -455,7 +481,7 @@ def training_loop(
             and cur_ndata != start_ndata
             and jax.process_index() == 0
         ):
-            state_host = jax.device_get(state)
+            state_host = _fetch_with_heartbeat(state)
             ckpt_path = os.path.join(
                 run_dir, f"training-state-{cur_ndata // 1000:07d}.ckpt"
             )
