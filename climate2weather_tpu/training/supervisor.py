@@ -26,8 +26,9 @@ Timing model (why "no output" is a safe stall signal):
   been measured at ~5 min on the slowest observed path, hence the 15 min
   default timeout;
 - startup (dataset cache, checkpoint load, first compile) is quiet for
-  minutes, hence a separate, longer ``startup_grace`` that applies until
-  the first line is seen.
+  minutes, hence a separate, longer ``startup_grace`` — a one-time window
+  measured from process start that applies until steady state is reached
+  (the first line matching ``steady_pattern``, or any line without one).
 
 Every action is appended to ``<journal>`` as JSONL so a run's interruption
 history is auditable next to its metrics.
@@ -92,7 +93,8 @@ class _ChildMonitor:
     def __init__(self, cmd: list[str], log_file, steady_re=None):
         self._log_file = log_file
         self._steady_re = steady_re
-        self.last_output = time.monotonic()
+        self.start_time = time.monotonic()
+        self.last_output = self.start_time
         self.saw_output = False
         # New session => the child and everything it spawns form a process
         # group we can kill by pgid (never by name pattern).
@@ -198,15 +200,22 @@ def supervise(cfg: SupervisorConfig, _sleep=time.sleep) -> SupervisorResult:
                         return SupervisorResult(0, len(restart_times), stalls, events)
                     exit_code = code
                     break
-                timeout = (
-                    cfg.stall_timeout if child.saw_output else cfg.startup_grace
-                )
-                if child.idle_seconds() > timeout:
+                if child.saw_output:
+                    idle, timeout = child.idle_seconds(), cfg.stall_timeout
+                else:
+                    # startup_grace is a ONE-TIME window measured from process
+                    # start: a child that never reaches steady state but emits
+                    # sporadic non-matching lines (retry warnings etc.) must
+                    # not renew its grace forever.
+                    idle = time.monotonic() - child.start_time
+                    timeout = cfg.startup_grace
+                if idle > timeout:
                     stalls += 1
                     record(
                         "stall",
-                        idle_s=round(child.idle_seconds(), 1),
+                        idle_s=round(idle, 1),
                         timeout_s=timeout,
+                        steady_seen=child.saw_output,
                     )
                     child.kill(cfg.term_grace)
                     record("killed", code=child.poll())

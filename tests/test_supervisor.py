@@ -170,3 +170,28 @@ def test_steady_pattern_gates_stall_timeout(tmp_path):
              steady_pattern="Status:")
     )
     assert res2.stalls == 1
+
+
+def test_startup_grace_not_renewed_by_nonmatching_lines(tmp_path):
+    """startup_grace is a one-time window from process start: a child that
+    never reaches steady state but keeps emitting sporadic non-matching
+    lines (each gap < startup_grace) must still be killed once the grace
+    window elapses, not kept alive indefinitely."""
+    # Emits a non-Status line every 2 s forever; startup_grace=6 s. With the
+    # buggy per-line renewal this child would never be killed.
+    child = (
+        "import time\n"
+        "while True:\n"
+        "    print('retrying connection...', flush=True)\n"
+        "    time.sleep(2)\n"
+    )
+    journal = tmp_path / "journal.jsonl"
+    res = supervise(
+        _cfg([PY, "-c", child], stall_timeout=3.0, startup_grace=6.0,
+             max_restarts=0, steady_pattern="Status:",
+             journal_path=str(journal))
+    )
+    assert res.stalls == 1
+    evt = [json.loads(l) for l in journal.read_text().splitlines()
+           if json.loads(l)["event"] == "stall"][0]
+    assert evt["steady_seen"] is False and evt["timeout_s"] == 6.0
