@@ -136,14 +136,21 @@ def debias_cmd(model_path, reference_path, target_path, out_path, n_quantiles):
 @click.option("--res", default=128, show_default=True)
 @click.option("--seed", default=0, show_default=True)
 @click.option("--norm-mode", default="quant95", show_default=True)
-def synth_cmd(out_dir, train_hours, eval_hours, res, seed, norm_mode):
+@click.option("--spectrum", default="smooth", show_default=True,
+              type=click.Choice(["smooth", "mesoscale"]),
+              help="Spatial-spectrum family: 'mesoscale' is the realistic "
+                   "k^-3 -> k^-5/3 atmospheric shape (use for spectral-"
+                   "fidelity evaluation); 'smooth' is the original "
+                   "hyper-smooth law.")
+def synth_cmd(out_dir, train_hours, eval_hours, res, seed, norm_mode,
+              spectrum):
     """Generate a synthetic COSMO-like workload (train h5 + quantiles +
     held-out eval grid) for production-scale fidelity runs."""
     from climate2weather_tpu.data.synthetic import build_synthetic_dataset
 
     build_synthetic_dataset(
         out_dir, train_hours=train_hours, eval_hours=eval_hours,
-        res=res, seed=seed, norm_mode=norm_mode,
+        res=res, seed=seed, norm_mode=norm_mode, spectrum=spectrum,
     )
 
 

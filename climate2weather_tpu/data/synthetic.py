@@ -83,6 +83,67 @@ def _wavenumbers(res: int):
     return kx, ky, k
 
 
+def _broken_power_amp(k: np.ndarray, a_syn: float, a_meso: float,
+                      k_t: float) -> np.ndarray:
+    """Fourier *amplitude* with a broken power law: ``k^-a_syn`` below the
+    transition wavenumber ``k_t`` and ``k^-a_meso`` above, continuous at
+    ``k_t``; DC mode zeroed.  ``k`` is in cycles per domain (integer rings).
+    """
+    kk = np.maximum(k, 1.0)
+    amp = np.where(
+        kk <= k_t,
+        kk ** -a_syn,
+        (k_t ** (a_meso - a_syn)) * kk ** -a_meso,
+    ).astype(np.float32)
+    amp[k == 0] = 0.0
+    return amp
+
+
+_SPECTRA = ("smooth", "mesoscale")
+
+
+def _spectral_amplitudes(k: np.ndarray, spectrum: str):
+    """(amp_psi, amp_tas, amp_ageo|None) Fourier amplitudes for the named
+    spectrum family.
+
+    ``smooth`` — the original hyper-smooth single power law: streamfunction
+    ``(k+1)^-2.75`` (wind RAPSD ~ k^-2.5, psl ~ k^-4.5), temperature
+    ``(k+1)^-2`` (~ k^-3).  Its ground-truth PSD spans >10 decades, far below
+    any generative model's sampling-noise floor at high wavenumber — fine for
+    training/guidance validation, but it makes spectral metrics (MELR,
+    reference exp/metrics.py:50-181) saturate on floor noise.
+
+    ``mesoscale`` — realistic atmospheric shape: kinetic-energy RAPSD
+    ``k^-3`` at synoptic scales breaking to ``k^-5/3`` in the mesoscale
+    (the canonical Nastrom-Gage shape).  With u = grad-perp(psi),
+    E_u(k) ~ k^3 |psi_hat|^2, so psi amplitudes of -3 / -7/3 give exactly
+    those slopes; temperature spectra follow the same -3 / -5/3 shape via
+    amplitudes -2 / -4/3.  The resolved tail then spans ~4.5 decades and
+    stays *above* the generation noise floor, so MELR measures the model's
+    actual spectral fidelity instead of the floor.
+
+    Geostrophic pressure (psl = psi) inherits a steep tail (-5 -> -11/3
+    integrated), so the ``mesoscale`` family also returns an *ageostrophic*
+    pressure-perturbation amplitude (same -3 -> -5/3 shape as temperature,
+    scaled to ~30 Pa by the caller — the observed magnitude of mesoscale /
+    convective pressure perturbations), which takes over the psl spectrum
+    at high wavenumber and keeps it resolvable as well.
+    """
+    if spectrum == "smooth":
+        amp_psi = (k + 1.0) ** -2.75
+        amp_psi[0, 0] = 0.0
+        amp_tas = (k + 1.0) ** -2.0
+        amp_tas[0, 0] = 0.0
+        return amp_psi, amp_tas, None
+    if spectrum == "mesoscale":
+        k_t = 8.0  # synoptic/mesoscale break: wavelength ~ domain/8
+        amp_psi = _broken_power_amp(k, 3.0, 7.0 / 3.0, k_t)
+        amp_tas = _broken_power_amp(k, 2.0, 4.0 / 3.0, k_t)
+        amp_ageo = _broken_power_amp(k, 2.0, 4.0 / 3.0, k_t)
+        return amp_psi, amp_tas, amp_ageo
+    raise ValueError(f"unknown spectrum {spectrum!r}; one of {_SPECTRA}")
+
+
 def _real_field(modes: np.ndarray) -> np.ndarray:
     """[T, res, res] complex modes -> real fields via inverse FFT.
 
@@ -103,35 +164,44 @@ def synthesize_cosmo_like(
     chunk_hours: int = 744,
     psl_mean: float = 101325.0,
     psl_std: float = 800.0,
+    psl_ageo_std: float = 30.0,
     tas_mean: float = 285.0,
     tas_std: float = 5.0,
     wind_std: float = 3.5,
     tau0: float = 60.0,
     advect=(2.5, 1.0),
+    spectrum: str = "smooth",
 ) -> GridDataset:
     """Generate a :class:`GridDataset` of (psl, tas, uas, vas) hourly fields.
 
-    Spectra: streamfunction amplitude ~ (k+1)^-2.75 gives wind RAPSD slope
-    ~ k^-2.5 and psl ~ k^-4.5; temperature amplitude ~ (k+1)^-2 gives
-    tas ~ k^-3 (verified numerically in tests/test_synthetic.py).
+    ``spectrum`` selects the spatial-spectrum family — see
+    :func:`_spectral_amplitudes` (``smooth`` keeps the original hyper-smooth
+    law; ``mesoscale`` is the realistic k^-3 -> k^-5/3 atmospheric shape,
+    the right workload for spectral-fidelity metrics).  Slopes verified
+    numerically in tests/test_synthetic.py.
     """
     rng = np.random.default_rng(seed)
     kx, ky, k = _wavenumbers(res)
 
-    amp_psi = (k + 1.0) ** -2.75
-    amp_psi[0, 0] = 0.0
-    amp_tas = (k + 1.0) ** -2.0
-    amp_tas[0, 0] = 0.0
+    amp_psi, amp_tas, amp_ageo = _spectral_amplitudes(k, spectrum)
     # decorrelation time: synoptic scales ~ days, grid scales ~ hours
     tau = tau0 * (np.maximum(k, 1.0)) ** (-2.0 / 3.0)
 
     psi_ar = _SpectralAR(res, amp_psi, tau, advect, rng)
     tas_ar = _SpectralAR(res, amp_tas, tau, advect, rng)
+    ageo_ar = (
+        _SpectralAR(res, amp_ageo, tau, advect, rng)
+        if amp_ageo is not None else None
+    )
 
     psl = np.empty((num_hours, res, res), np.float32)
     tas = np.empty((num_hours, res, res), np.float32)
     uas = np.empty((num_hours, res, res), np.float32)
     vas = np.empty((num_hours, res, res), np.float32)
+    ageo = (
+        np.empty((num_hours, res, res), np.float32)
+        if ageo_ar is not None else None
+    )
 
     d_dy = (-1j * ky).astype(np.complex64)
     d_dx = (1j * kx).astype(np.complex64)
@@ -144,6 +214,8 @@ def synthesize_cosmo_like(
         # geostrophic balance: pressure proportional to the streamfunction
         psl[t0:t1] = _real_field(psi_hat)
         tas[t0:t1] = _real_field(tas_ar.steps(t1 - t0))
+        if ageo_ar is not None:
+            ageo[t0:t1] = _real_field(ageo_ar.steps(t1 - t0))
 
     def _standardize(x):
         return (x - x.mean()) / max(x.std(), 1e-12)
@@ -153,6 +225,11 @@ def synthesize_cosmo_like(
     uas = (uas - uas.mean()) * wind_scale
     vas = (vas - vas.mean()) * wind_scale
     psl = _standardize(psl) * psl_std + psl_mean
+    if ageo is not None:
+        # ageostrophic (mesoscale/convective) pressure perturbations: small
+        # in magnitude but spectrally shallow, they own the psl tail beyond
+        # k ~ 25 where the geostrophic k^-11/3 spectrum has collapsed
+        psl += _standardize(ageo) * np.float32(psl_ageo_std)
     tas_f = _standardize(tas) * tas_std
 
     # diurnal + seasonal cycle and warm advection for temperature
@@ -204,6 +281,7 @@ def build_synthetic_dataset(
     seed: int = 0,
     norm_mode: str = "quant95",
     quantile_subsample: int = 4,
+    spectrum: str = "smooth",
 ) -> Dict[str, str]:
     """Materialize the full offline-data-engineering outputs for a synthetic
     workload: train merged grid + quantile file + normalized training HDF5,
@@ -223,9 +301,11 @@ def build_synthetic_dataset(
         "eval_merged": os.path.join(out_dir, "eval_merged.nc"),
     }
 
-    print(f"Synthesizing {train_hours} train hours at {res}x{res} ...")
+    print(f"Synthesizing {train_hours} train hours at {res}x{res} "
+          f"({spectrum} spectrum) ...")
     train = synthesize_cosmo_like(
-        train_hours, res=res, seed=seed, start_time="2006-01-01-00"
+        train_hours, res=res, seed=seed, start_time="2006-01-01-00",
+        spectrum=spectrum,
     )
     train.to_file(paths["train_merged"])
 
@@ -240,7 +320,8 @@ def build_synthetic_dataset(
 
     print(f"Synthesizing {eval_hours} eval hours ...")
     ev = synthesize_cosmo_like(
-        eval_hours, res=res, seed=seed + 1, start_time="2014-01-01-00"
+        eval_hours, res=res, seed=seed + 1, start_time="2014-01-01-00",
+        spectrum=spectrum,
     )
     ev.to_file(paths["eval_merged"])
     print(f"Synthetic dataset written to {out_dir}")

@@ -53,6 +53,38 @@ def test_synthetic_statistics():
     assert rel < 0.5, rel
 
 
+def test_mesoscale_spectrum():
+    """The 'mesoscale' family must produce the realistic atmospheric shape:
+    ring-averaged RAPSD tails near k^-8/3 (= integrated k^-5/3) for winds and
+    temperature, and an ageostrophic pressure component that keeps the psl
+    tail resolvable (the property MELR evaluation depends on)."""
+    ds = synthesize_cosmo_like(24, res=64, seed=3, spectrum="mesoscale")
+    f = np.arange(1, 33)
+    for var in ("uas", "vas", "tas"):
+        psd = _mean_rapsd(ds.data_vars[var][::6])
+        tail = np.polyfit(np.log(f[12:30]), np.log(psd[12:30] + 1e-300), 1)[0]
+        assert -3.4 < tail < -2.0, (var, tail)
+
+    # ageostrophic perturbations own the psl tail: switching them off must
+    # drop the high-wavenumber power by a large factor (crossover is near
+    # ring 16 in cycles/domain, so measure at res=128 where the tail rings
+    # sit well beyond it)
+    ds1 = synthesize_cosmo_like(24, res=128, seed=3, spectrum="mesoscale")
+    ds0 = synthesize_cosmo_like(
+        24, res=128, seed=3, spectrum="mesoscale", psl_ageo_std=0.0
+    )
+    p_on = _mean_rapsd(ds1.data_vars["psl"][::6])
+    p_off = _mean_rapsd(ds0.data_vars["psl"][::6])
+    assert np.median(p_on[48:63] / (p_off[48:63] + 1e-300)) > 3.0
+
+    # physical invariants hold in the new family too
+    assert 95000 < ds.data_vars["psl"].mean() < 107000
+    uas, vas = ds.data_vars["uas"][0], ds.data_vars["vas"][0]
+    div = np.gradient(uas, axis=1) + np.gradient(vas, axis=0)
+    rel = np.abs(div).mean() / (np.abs(np.gradient(uas, axis=1)).mean() + 1e-12)
+    assert rel < 0.5, rel
+
+
 def test_synthetic_deterministic_and_distinct_seeds():
     a = synthesize_cosmo_like(8, res=32, seed=7)
     b = synthesize_cosmo_like(8, res=32, seed=7)
