@@ -346,8 +346,12 @@ def spread_skill_ratio(
 
     skill = RMSE of the ensemble mean; spread = sqrt((S+1)/S * mean ensemble
     variance) — the (S+1)/S factor makes E[skill^2] = E[spread^2] exact for a
-    perfectly reliable S-member ensemble (Fortin et al. 2014).  < 1 means
-    under-dispersion (overconfident ensemble), > 1 over-dispersion.
+    perfectly reliable S-member ensemble (Fortin et al. 2014).
+
+    Direction: ideal = 1.  < 1 means under-dispersion (overconfident
+    ensemble), > 1 over-dispersion (e.g. the 2.5 of the untuned-guidance
+    meso64 probes = guided ensemble 2.5x too wide).  Pinned by
+    tests/test_calibration_metrics.py on a synthetic calibrated ensemble.
     """
     samples = np.asarray(sample_fields, np.float64)
     gt = np.asarray(gt_fields, np.float64)
@@ -370,6 +374,10 @@ def rank_histogram(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarr
     ensemble gives a flat histogram over the S+1 ranks.  Returns integer
     counts [S + 1].  Ties (exact float equality) are credited to the lower
     rank — negligible for continuous fields.
+
+    Direction/shape: flat = calibrated; ∩ (center-heavy) = over-dispersed
+    ensemble (truth rarely in the tails); ∪ = under-dispersed; sloped =
+    biased.  Pinned by tests/test_calibration_metrics.py.
     """
     samples = np.asarray(sample_fields)
     gt = np.asarray(gt_fields)
@@ -380,7 +388,14 @@ def rank_histogram(sample_fields: np.ndarray, gt_fields: np.ndarray) -> np.ndarr
 
 def reliability_index(hist_counts: np.ndarray) -> float:
     """Delta reliability index: sum_k |f_k - 1/(S+1)| over the normalized
-    rank histogram (Delle Monache et al. 2006).  0 = perfectly flat."""
+    rank histogram (Delle Monache et al. 2006).
+
+    Direction: LOWER is better; 0 = perfectly flat histogram (calibrated
+    ensemble), 2·S/(S+1) → worst case (all mass in one rank bin).  In the
+    meso64 probe tables guided ≈0.45-0.70 vs unconditional ≈0.07-0.39 is
+    therefore guided being *worse*-calibrated — real miscalibration from
+    the overdispersed untuned guidance (spread/skill ≈2.5, ∩-shaped rank
+    histogram), not a metric bug; see docs/fidelity/MESOSCALE.md."""
     counts = np.asarray(hist_counts, np.float64)
     f = counts / counts.sum()
     return float(np.abs(f - 1.0 / len(f)).sum())
