@@ -55,6 +55,26 @@ def extract_patch(in_path, out_path, lat0, lat1, lon0, lon1, no_interp, no_audit
     print(f"Wrote {out_path}: {patch.sizes}")
 
 
+@cli.command("extract-patch-folder")
+@click.option("--var-folder", required=True,
+              help="Per-variable folder of raw archive netCDF files")
+@click.option("--out-folder", required=True)
+@click.option("--years", default=None,
+              help="Inclusive start-year filter on filenames, e.g. 2006-2019")
+@click.option("--lat0", default=proc.DEFAULT_PATCH["lat_range"][0], show_default=True)
+@click.option("--lat1", default=proc.DEFAULT_PATCH["lat_range"][1], show_default=True)
+@click.option("--lon0", default=proc.DEFAULT_PATCH["lon_range"][0], show_default=True)
+@click.option("--lon1", default=proc.DEFAULT_PATCH["lon_range"][1], show_default=True)
+def extract_patch_folder(var_folder, out_folder, years, lat0, lat1, lon0, lon1):
+    """Extract the study patch from every raw file of one variable's archive
+    folder — the reference's per-variable workflow (`extract_patch
+    --var-folder /path/to/COSMO/var`, data/README.md step 1). Output files
+    keep their archive names for the downstream preproc-all pipeline."""
+    proc.extract_patch_folder(
+        var_folder, out_folder, years, (lat0, lat1), (lon0, lon1)
+    )
+
+
 @cli.command("merge-time")
 @click.option("--out-path", required=True)
 @click.argument("in_paths", nargs=-1, required=True)
@@ -176,7 +196,14 @@ def preproc_all(raw_dir, out_dir, train_range, test_range, norm_mode):
     for split, (start, end) in splits.items():
         per_var = []
         for vd in var_dirs:
-            files = sorted(vd.glob("*.nc")) + sorted(vd.glob("*.h5"))
+            # skip the *_with_missing.h5 NaN-audit artifacts extract-patch
+            # writes next to its outputs — they duplicate time steps and
+            # are diagnostics, not data
+            files = [
+                f
+                for f in sorted(vd.glob("*.nc")) + sorted(vd.glob("*.h5"))
+                if not f.name.endswith("_with_missing.h5")
+            ]
             merged = proc.merge_time([open_grid(str(f)) for f in files])
             per_var.append(proc.select_dates(merged, start, end))
         merged_by_split[split] = proc.merge_vars(per_var)

@@ -115,6 +115,81 @@ def _interpolate_nan_times(ds: GridDataset, report: dict) -> GridDataset:
     return GridDataset(out, dict(ds.coords), dict(ds.attrs))
 
 
+_RAW_FILE_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def filter_files_by_years(file_list, start_year: int, end_year: int):
+    """Keep raw archive files whose 12-digit start timestamp falls in
+    [start_year, end_year] (reference data/processing.py:16-35; filenames
+    like ``psl_EUR-6km_..._COSMO_v1_200601010000-200612312300.nc``).
+    Non-matching filenames are a hard error, as in the reference."""
+    import re
+
+    global _RAW_FILE_RE
+    if _RAW_FILE_RE is None:
+        _RAW_FILE_RE = re.compile(r"^.+_(?P<start_time>\d{12})-.+\.nc$")
+    out = []
+    for f in file_list:
+        m = _RAW_FILE_RE.match(f.name)
+        if not m:
+            raise ValueError(
+                f"File name '{f.name}' does not match the required format"
+            )
+        if start_year <= int(m.group("start_time")[:4]) <= end_year:
+            out.append(f)
+    return out
+
+
+def extract_patch_folder(
+    var_folder: str,
+    out_folder: str,
+    years: Optional[str] = None,
+    lat_range: Tuple[int, int] = DEFAULT_PATCH["lat_range"],
+    lon_range: Tuple[int, int] = DEFAULT_PATCH["lon_range"],
+) -> list:
+    """Per-variable archive-folder extraction — the reference's actual L0
+    entry point (data/processing.py full_cosmo_to_interpolated_patch,
+    ``extract_patch --var-folder .../COSMO/psl --out-folder ... --years
+    2006-2019``): glob the variable folder's raw netCDF files in sorted
+    order, optionally filter by the filename's start year, slice each to
+    the study patch (NaN audit + pchip fallback per file), and write each
+    patch under the SAME filename in the output folder, ready for the
+    mergetime/split/quantile pipeline (``preproc-all``).
+    """
+    import pathlib
+
+    var_folder = pathlib.Path(var_folder)
+    assert var_folder.is_dir(), f"{var_folder} is not a directory."
+    out = pathlib.Path(out_folder)
+    out.mkdir(parents=True, exist_ok=True)
+
+    files = sorted(var_folder.glob("*.nc"))
+    if not files:
+        raise ValueError(
+            f"No netCDF files found in {var_folder}. This runs per variable."
+        )
+    if years is not None:
+        y0, y1 = map(int, str(years).split("-"))
+        files = filter_files_by_years(files, y0, y1)
+        if not files:
+            raise ValueError(f"No files in {var_folder} match years {years}")
+
+    written = []
+    for f in files:
+        dst = out / f.name
+        patch = extract_patch(
+            open_grid(str(f)),
+            lat_range,
+            lon_range,
+            interpolate_nans=True,
+            audit_path=str(dst.with_suffix("")),
+        )
+        patch.to_file(str(dst))
+        written.append(dst)
+        print(f"Wrote {dst}: {patch.sizes}")
+    return written
+
+
 # ---------------------------------------------------------------------------
 # cdo-equivalent operations (mergetime / seldate / merge)
 

@@ -39,6 +39,21 @@ MATRIX = [
                              sde_eta=0.4)),
     ("dpmpp2m64_sde10", dict(sampler_kind="dpmpp2m", num_sampling_steps=64,
                              sde_eta=1.0)),
+    # VERDICT r3 next-step 3: the equal-snapshot quality matrix validating
+    # the DPM step-count headline — all at the final-eval protocol
+    # (denoise_final), PC-256 vs DPM++(2M)-64 vs (3M)-48 vs sde_eta.
+    ("pc256_dn", dict(corrections=0, num_sampling_steps=256,
+                      denoise_final=True)),
+    ("dpmpp2m64_dn", dict(sampler_kind="dpmpp2m", num_sampling_steps=64,
+                          denoise_final=True)),
+    ("dpmpp3m48_dn", dict(sampler_kind="dpmpp3m", num_sampling_steps=48,
+                          denoise_final=True)),
+    ("dpmpp2m64_sde01_dn", dict(sampler_kind="dpmpp2m",
+                                num_sampling_steps=64, sde_eta=0.1,
+                                denoise_final=True)),
+    ("dpmpp2m64_sde03_dn", dict(sampler_kind="dpmpp2m",
+                                num_sampling_steps=64, sde_eta=0.3,
+                                denoise_final=True)),
 ]
 
 
@@ -52,6 +67,10 @@ def run_matrix(args) -> dict:
         if args.only and name not in args.only:
             continue
         extra = dict(extra)  # .pop below must not mutate the module matrix
+        if getattr(args, "likelihood_std", None):
+            extra.setdefault("likelihood_std", list(args.likelihood_std))
+        if getattr(args, "likelihood_gamma", None) is not None:
+            extra.setdefault("likelihood_gamma", args.likelihood_gamma)
         out = out_root / name
         print(f"=== ablation: {name} ===", flush=True)
         try:
@@ -83,8 +102,9 @@ def summarize(results: dict) -> str:
         return "(no completed cells)"
     variables = sorted(next(iter(results.values()))["wasserstein"])
     lines = [
-        "| setting | W2 (" + " / ".join(variables) + ") | MELR | SSIM | CRPS |",
-        "|---|---|---|---|---|",
+        "| setting | W2 (" + " / ".join(variables)
+        + ") | MELR | SSIM | CRPS | spread/skill |",
+        "|---|---|---|---|---|---|",
     ]
     for name in names:
         m = results[name]
@@ -98,7 +118,7 @@ def summarize(results: dict) -> str:
 
         lines.append(
             f"| {name} | {row('wasserstein')} | {row('melr')} "
-            f"| {row('ssim')} | {row('crps')} |"
+            f"| {row('ssim')} | {row('crps')} | {row('spread_skill')} |"
         )
     return "\n".join(lines)
 
@@ -115,6 +135,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of cell names to run")
+    ap.add_argument("--likelihood-std", type=float, nargs="*", default=None,
+                    help="per-channel sigma override (e.g. the swept optimum)")
+    ap.add_argument("--likelihood-gamma", type=float, default=None)
     args = ap.parse_args()
     results = run_matrix(args)
     table = summarize(results)
