@@ -68,7 +68,7 @@ def run(
     s_step: int = 16,
     data_vars: Sequence[str] = ("psl", "tas", "uas", "vas"),
     likelihood_std: Optional[Sequence[float]] = None,
-    likelihood_gamma: float = DEFAULT_GAMMA,
+    likelihood_gamma=DEFAULT_GAMMA,  # scalar or per-channel sequence
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
@@ -110,7 +110,11 @@ def run(
             base,
             observation_path=data_nc,
             likelihood_std=list(likelihood_std or DEFAULT_STD),
-            likelihood_gamma=float(likelihood_gamma),
+            likelihood_gamma=(
+                list(likelihood_gamma)
+                if isinstance(likelihood_gamma, (list, tuple))
+                else float(likelihood_gamma)
+            ),
             num_samples=int(num_samples),
         ),
     )
@@ -171,6 +175,8 @@ def run(
         f"- metrics protocol: observation time grid, gt-standardized "
         f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
         "(reference exp/metrics.py:219-296)",
+        f"- likelihood hparams: sigma={list(likelihood_std or DEFAULT_STD)}, "
+        f"gamma={likelihood_gamma}",
         "",
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
@@ -231,8 +237,23 @@ def main():
                   help="reverse-process solver for both ensembles")
     @click.option("--sde-eta", default=0.0, type=float,
                   help="SDE-DPM-Solver++(2M) noise strength (dpmpp2m only)")
+    @click.option("--likelihood-std", multiple=True, type=float,
+                  help="per-channel guidance sigma (repeat 4x; default = "
+                       "reference COSMO-tuned values)")
+    @click.option("--likelihood-gamma", multiple=True, type=float,
+                  help="guidance gamma: one value = scalar, repeat 4x for "
+                       "per-channel (default = reference COSMO value)")
     def cli(**kw):
-        run(**kw)
+        std = kw.pop("likelihood_std") or None
+        gamma = kw.pop("likelihood_gamma")
+        if len(gamma) == 0:
+            gamma = DEFAULT_GAMMA
+        elif len(gamma) == 1:
+            gamma = float(gamma[0])
+        else:
+            gamma = list(gamma)
+        run(likelihood_std=list(std) if std else None,
+            likelihood_gamma=gamma, **kw)
 
     cli()
 

@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--base-seed", type=int, default=99)
     ap.add_argument("--start-trial", type=int, default=0,
                     help="resume a partial sweep (skips completed trials)")
+    ap.add_argument("--point", action="append", default=None,
+                    help="structured extra trial 's1,s2,s3,s4,g[,g2,g3,g4]' "
+                         "(numbered from --point-base; repeatable; skips "
+                         "the random draws)")
+    ap.add_argument("--point-base", type=int, default=100)
     args = ap.parse_args()
 
     out = pathlib.Path(args.out)
@@ -94,12 +99,25 @@ def main():
         rows = [json.loads(l) for l in log_path.read_text().splitlines()]
     done = {r["trial"] for r in rows}
 
-    for n in range(args.start_trial, args.trials + 1):
+    if args.point:
+        schedule = []
+        for i, p in enumerate(args.point):
+            vals = [float(x) for x in p.split(",")]
+            # 5 values: per-channel sigma + scalar gamma; 8: + per-channel
+            # gamma (guidance broadcasts gamma over channels already)
+            assert len(vals) in (5, 8), p
+            gamma = vals[4] if len(vals) == 5 else list(vals[4:])
+            schedule.append((args.point_base + i, tuple(vals[:4]), gamma))
+    else:
+        schedule = [(n, None, None)
+                    for n in range(args.start_trial, args.trials + 1)]
+
+    for n, sigma, gamma in schedule:
         if n in done:
             continue
-        if n == 0:
+        if sigma is None and n == 0:
             sigma, gamma = cosmo_sigma, cosmo_gamma
-        else:
+        elif sigma is None:
             set_random_seed(args.base_seed, n)
             sigma, gamma = downscaling._draw_likelihood_hparams()
         print(f"=== trial {n}: sigma={sigma} gamma={gamma}", flush=True)
@@ -127,11 +145,15 @@ def main():
 
     ok = [r for r in rows if "score" in r]
     ok.sort(key=lambda r: r["score"])
+    def _fmt_gamma(g):
+        return ("/".join(f"{x:.3g}" for x in g) if isinstance(g, list)
+                else f"{g:.3g}")
+
     print("\n| rank | trial | sigma | gamma | score | W2r | MELRr | calib |")
     print("|---|---|---|---|---|---|---|---|")
     for i, r in enumerate(ok):
         sig = "/".join(f"{s:.3g}" for s in r["sigma"])
-        print(f"| {i+1} | {r['trial']} | {sig} | {r['gamma']:.3g} | "
+        print(f"| {i+1} | {r['trial']} | {sig} | {_fmt_gamma(r['gamma'])} | "
               f"{r['score']:.3f} | {r['w2_ratio']:.3f} | {r['melr_ratio']:.3f} | "
               f"{r['calib_penalty']:.3f} |")
     with open(out / "RANKING.md", "w") as f:
@@ -143,7 +165,7 @@ def main():
         f.write("|---|---|---|---|---|---|---|---|\n")
         for i, r in enumerate(ok):
             sig = "/".join(f"{s:.3g}" for s in r["sigma"])
-            f.write(f"| {i+1} | {r['trial']} | {sig} | {r['gamma']:.3g} | "
+            f.write(f"| {i+1} | {r['trial']} | {sig} | {_fmt_gamma(r['gamma'])} | "
                     f"{r['score']:.3f} | {r['w2_ratio']:.3f} | "
                     f"{r['melr_ratio']:.3f} | {r['calib_penalty']:.3f} |\n")
     with open(out / "sweep_rows.pickle", "wb") as f:
