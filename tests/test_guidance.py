@@ -93,3 +93,44 @@ def test_exact_grad_path_runs_and_differs():
     e2 = g_ex.guided_eps(score_fn, proc, x, jnp.float32(0.5))
     assert e1.shape == e2.shape == x.shape
     assert not np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_per_channel_gamma_matches_autodiff():
+    """Per-channel gamma (the round-4 sweep's decisive axis) must enter the
+    likelihood variance channelwise: var_c = std_c^2 + gamma_c (sigma/mu)^2."""
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(7)
+    L, H, W, C = 6, 8, 8, 4
+    x = jax.random.normal(rng, (L, H, W, C))
+    y = jax.random.normal(jax.random.fold_in(rng, 3), (3, 4, 4, C))
+    std = per_channel([0.17, 0.043, 0.33, 0.33], C)
+    gamma = per_channel([0.003, 0.003, 0.04, 0.01], C)
+    t = jnp.float32(0.41)
+
+    def score_fn(xx, tt):
+        return jnp.tanh(xx) * 0.5
+
+    g = GaussianGuidance(A=A, y=y, std=std, gamma=gamma, exact_grad=False)
+    got = g.guided_eps(score_fn, proc, x, t)
+
+    eps = score_fn(x, t)
+    mu, sigma = proc.mu(t), proc.sigma(t)
+    var = std**2 + gamma * (sigma / mu) ** 2  # channelwise broadcast
+
+    def log_p(xx):
+        x0 = (xx - sigma * jax.lax.stop_gradient(eps)) / mu
+        err = y - A(x0)
+        return -jnp.sum(err**2 / var) / 2.0
+
+    want = eps - sigma * jax.grad(log_p)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # and it must actually differ from the scalar-mean-gamma guidance
+    g_scalar = GaussianGuidance(
+        A=A, y=y, std=std, gamma=float(np.mean([0.003, 0.003, 0.04, 0.01])),
+        exact_grad=False,
+    )
+    assert not np.allclose(
+        np.asarray(got), np.asarray(g_scalar.guided_eps(score_fn, proc, x, t))
+    )
