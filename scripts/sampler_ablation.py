@@ -23,8 +23,11 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # (name, fidelity.run kwargs)
 MATRIX = [
