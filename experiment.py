@@ -110,12 +110,28 @@ def figures(kind, exp_dir, out_dir, compare):
               help="predictor family: reference PC, DPM++(2M), or DPM++(3M)")
 @click.option("--sde-eta", default=0.0, type=float, show_default=True,
               help="SDE-DPM-Solver++(2M) noise strength (dpmpp2m only)")
+@click.option("--likelihood-std", multiple=True, type=float,
+              help="per-channel guidance sigma (repeat 4x; default = "
+                   "reference COSMO-tuned values)")
+@click.option("--likelihood-gamma", multiple=True, type=float,
+              help="guidance gamma: one value = scalar, repeat 4x for "
+                   "per-channel (default = reference COSMO value)")
 def fidelity(**kw):
     """Statistical acceptance: guided + unconditional ensembles, W2/MELR/SSIM
     for both, figures, and a FIDELITY.md table (exp/fidelity.py)."""
+    from climate2weather_tpu.exp.fidelity import DEFAULT_GAMMA
     from climate2weather_tpu.exp.fidelity import run as fidelity_run
 
-    fidelity_run(**kw)
+    std = kw.pop("likelihood_std") or None
+    gamma = kw.pop("likelihood_gamma")
+    if len(gamma) == 0:
+        gamma = DEFAULT_GAMMA
+    elif len(gamma) == 1:
+        gamma = float(gamma[0])
+    else:
+        gamma = list(gamma)
+    fidelity_run(likelihood_std=list(std) if std else None,
+                 likelihood_gamma=gamma, **kw)
 
 
 @cli.command()
