@@ -447,6 +447,15 @@ def main():
                     if year and year["pc256_hours"] > 0
                     else None
                 ),
+                # cross-protocol speedup: legitimate now that DPM-64 quality
+                # >= PC-256 is MEASURED on a trained snapshot (equal-snapshot
+                # matrix, docs/fidelity/ABLATION.md — W2/MELR/SSIM/CRPS all
+                # equal or better at 4x fewer score evals)
+                "year_vs_baseline_speedup_dpmpp64_quality_validated": (
+                    round(A100_BASELINE_YEAR_HOURS / year["dpm64_hours"], 2)
+                    if year and year["dpm64_hours"] > 0
+                    else None
+                ),
                 **train_stats,
                 "collective_audit_8dev": audit,
             }
