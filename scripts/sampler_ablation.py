@@ -57,6 +57,16 @@ MATRIX = [
     ("dpmpp2m64_sde03_dn", dict(sampler_kind="dpmpp2m",
                                 num_sampling_steps=64, sde_eta=0.3,
                                 denoise_final=True)),
+    # round-4 additions: the swept per-channel gamma composed with SDE —
+    # the configuration that puts guided wind MELR below the unconditional
+    # spectrum (docs/fidelity/ABLATION.md finding 3). gamma values are the
+    # sweep winner (docs/fidelity/sweep_meso64/RANKING.md trial 112).
+    ("tuned_sde01_dn", dict(sampler_kind="dpmpp2m", num_sampling_steps=64,
+                            sde_eta=0.1, denoise_final=True,
+                            likelihood_gamma=[0.003, 0.003, 0.04, 0.01])),
+    ("tuned_sde03_dn", dict(sampler_kind="dpmpp2m", num_sampling_steps=64,
+                            sde_eta=0.3, denoise_final=True,
+                            likelihood_gamma=[0.003, 0.003, 0.04, 0.01])),
 ]
 
 
