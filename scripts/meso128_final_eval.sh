@@ -1,0 +1,67 @@
+#!/bin/bash
+# Waits for the meso128 production trainer to reach 9Mi and exit, then runs
+# the pre-registered final eval (docs/fidelity/meso128/PREREG.md + RESUME.md):
+# three rows on network-snapshot-0009437-0.999900, 24 guided + 24
+# unconditional samples each, 49 h from 2014-01-07-00, DPM-64 + denoise-final.
+#
+# Launch: PYTHONUNBUFFERED=1 nohup ./scripts/meso128_final_eval.sh \
+#           > runs/meso128_final_eval.log 2>&1 & echo $! > /tmp/final_eval.pid
+set -u
+cd "$(dirname "$0")/.."
+
+TRAIN_PID=$(cat /tmp/train.pid)
+SNAP=runs/meso128/network-snapshot-0009437-0.999900
+
+echo "[final_eval] waiting on trainer pid ${TRAIN_PID}"
+while kill -0 "${TRAIN_PID}" 2>/dev/null; do sleep 60; done
+echo "[final_eval] trainer exited at $(date -u +%FT%TZ)"
+
+if [ ! -d "${SNAP}" ]; then
+  echo "[final_eval] FATAL: ${SNAP} missing - trainer did not finish cleanly"
+  exit 1
+fi
+
+# Let any in-flight probe finish (probe log quiet 20 min - compiles can be
+# silent ~9 min, so a short window would false-positive), then stop the
+# watcher by its recorded PID so the evals get a quiet chip.
+PROBE_PID=$(cat /tmp/probe.pid 2>/dev/null || true)
+if [ -n "${PROBE_PID}" ] && kill -0 "${PROBE_PID}" 2>/dev/null; then
+  while true; do
+    age=$(( $(date +%s) - $(stat -c %Y runs/probe_meso128.log 2>/dev/null || echo 0) ))
+    [ "${age}" -ge 1200 ] && break
+    sleep 60
+  done
+  kill "${PROBE_PID}" 2>/dev/null || true
+  echo "[final_eval] probe watcher stopped"
+fi
+
+common=(--snapshot "${SNAP}"
+  --data-nc runs/synth_meso128/eval_merged.nc
+  --quantiles runs/synth_meso128/quantiles.h5
+  --start-time 2014-01-07-00
+  --num-samples 24 --uncond-samples 24 --num-sampling-steps 64
+  --sampler-kind dpmpp2m --denoise-final --ensemble-batch 6)
+tuned=(--likelihood-gamma 0.003 --likelihood-gamma 0.003
+  --likelihood-gamma 0.04 --likelihood-gamma 0.01)
+
+echo "[final_eval] row 1/3: COSMO hparams (gating)"
+python -m climate2weather_tpu.exp.fidelity "${common[@]}" \
+  --out runs/meso128_eval_cosmo
+echo "[final_eval] row 1 rc=$?"
+
+echo "[final_eval] row 2/3: tuned per-channel gamma (gating)"
+python -m climate2weather_tpu.exp.fidelity "${common[@]}" "${tuned[@]}" \
+  --out runs/meso128_eval_tuned
+echo "[final_eval] row 2 rc=$?"
+
+echo "[final_eval] row 3/3: tuned gamma + sde-eta 0.3 (non-gating)"
+python -m climate2weather_tpu.exp.fidelity "${common[@]}" "${tuned[@]}" \
+  --sde-eta 0.3 --out runs/meso128_eval_tuned_sde03
+echo "[final_eval] row 3 rc=$?"
+
+python scripts/progression_report.py runs/probe_meso128 \
+  > runs/meso128_progression.txt 2>&1
+echo "[final_eval] progression report rc=$?"
+
+touch runs/meso128_eval.DONE
+echo "[final_eval] DONE $(date -u +%FT%TZ)"
