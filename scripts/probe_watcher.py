@@ -38,8 +38,12 @@ def due_snapshots(run_dir: pathlib.Path, rate: str, every_mi: int):
         if not m or m.group(2) != rate:
             continue
         kdata = int(m.group(1))
-        mi = round(kdata / 1048.576)  # snapshot cadence is 1Mi-aligned
-        if mi > 0 and mi % every_mi == 0:
+        # On-cadence = within a quarter-Mi of a multiple of every_mi. A plain
+        # round() would also catch half-Mi snapshots (round-half-even pulls
+        # 2.5Mi -> 2) when the trainer snapshots at sub-Mi intervals.
+        mi_f = kdata / 1048.576
+        near = round(mi_f / every_mi) * every_mi
+        if near > 0 and abs(mi_f - near) <= 0.25:
             out.append((kdata, p))
     return sorted(out)
 

@@ -44,6 +44,8 @@ def test_due_snapshots_cadence_and_rate(tmp_path):
         f"network-snapshot-{mi(1)}-0.999000",   # 1Mi: off-cadence for every-2
         f"network-snapshot-{mi(2)}-0.999000",   # 2Mi: due
         f"network-snapshot-{mi(2)}-0.999900",   # wrong EMA rate
+        f"network-snapshot-{mi(2.5)}-0.999000",  # 2.5Mi (512Ki trainer cadence):
+        f"network-snapshot-{mi(3.5)}-0.999000",  # ... must NOT round onto 2/4Mi
         f"network-snapshot-{mi(4)}-0.999000",   # 4Mi: due
         "training-state-0001234.ckpt",           # not a snapshot
         "figures",                               # unrelated dir
