@@ -9,17 +9,33 @@
 set -u
 cd "$(dirname "$0")/.."
 
-TRAIN_PID=$(cat /tmp/train.pid)
 SNAP=runs/meso128/network-snapshot-0009437-0.999900
 
-echo "[final_eval] waiting on trainer pid ${TRAIN_PID}"
-while kill -0 "${TRAIN_PID}" 2>/dev/null; do sleep 60; done
-echo "[final_eval] trainer exited at $(date -u +%FT%TZ)"
+# Poll for the final snapshot itself rather than a one-time PID read: the
+# supervisor can be relaunched (VM restart) under a new PID mid-run, which
+# orphaned the first incarnation of this waiter. Re-read /tmp/train.pid each
+# minute purely to warn when nothing is training AND the snapshot is absent.
+echo "[final_eval] waiting for ${SNAP}"
+warned=0
+while [ ! -d "${SNAP}" ]; do
+  TRAIN_PID=$(cat /tmp/train.pid 2>/dev/null || true)
+  if [ -n "${TRAIN_PID}" ] && kill -0 "${TRAIN_PID}" 2>/dev/null; then
+    warned=0
+  elif [ "${warned}" -eq 0 ]; then
+    echo "[final_eval] WARN: no live trainer (pid ${TRAIN_PID:-?}) and ${SNAP} missing at $(date -u +%FT%TZ); waiting for an operator relaunch"
+    warned=1
+  fi
+  sleep 60
+done
+echo "[final_eval] snapshot present at $(date -u +%FT%TZ)"
 
-if [ ! -d "${SNAP}" ]; then
-  echo "[final_eval] FATAL: ${SNAP} missing - trainer did not finish cleanly"
-  exit 1
-fi
+# Now wait for the trainer/supervisor to actually exit so the evals get the
+# chip (the final checkpoint save trails the final snapshot by a few ticks).
+while TRAIN_PID=$(cat /tmp/train.pid 2>/dev/null) \
+      && [ -n "${TRAIN_PID}" ] && kill -0 "${TRAIN_PID}" 2>/dev/null; do
+  sleep 60
+done
+echo "[final_eval] trainer exited at $(date -u +%FT%TZ)"
 
 # Let any in-flight probe finish (probe log quiet 20 min - compiles can be
 # silent ~9 min, so a short window would false-positive), then stop the
