@@ -79,5 +79,11 @@ python scripts/progression_report.py runs/probe_meso128 \
   > runs/meso128_progression.txt 2>&1
 echo "[final_eval] progression report rc=$?"
 
+python scripts/meso128_verdict.py \
+  --cosmo runs/meso128_eval_cosmo --tuned runs/meso128_eval_tuned \
+  --sde runs/meso128_eval_tuned_sde03 \
+  --progression runs/meso128_progression.txt
+echo "[final_eval] verdict composer rc=$?"
+
 touch runs/meso128_eval.DONE
 echo "[final_eval] DONE $(date -u +%FT%TZ)"
