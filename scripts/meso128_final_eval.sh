@@ -79,10 +79,16 @@ python scripts/progression_report.py runs/probe_meso128 \
   > runs/meso128_progression.txt 2>&1
 echo "[final_eval] progression report rc=$?"
 
+python scripts/spectral_bands.py \
+  runs/meso128_eval_cosmo runs/meso128_eval_tuned runs/meso128_eval_tuned_sde03 \
+  > runs/meso128_bands.md 2>&1
+echo "[final_eval] band diagnostic rc=$?"
+
 python scripts/meso128_verdict.py \
   --cosmo runs/meso128_eval_cosmo --tuned runs/meso128_eval_tuned \
   --sde runs/meso128_eval_tuned_sde03 \
-  --progression runs/meso128_progression.txt
+  --progression runs/meso128_progression.txt \
+  --bands runs/meso128_bands.md
 echo "[final_eval] verdict composer rc=$?"
 
 touch runs/meso128_eval.DONE
