@@ -85,7 +85,7 @@ def main() -> None:
     ap.add_argument("probe_root")
     ap.add_argument(
         "--metrics",
-        default="w2,ssim,crps,spread_skill,rank_ri",
+        default="w2,melr,ssim,crps,spread_skill,rank_ri",
         help=f"comma list from {sorted(METRIC_KEYS)}",
     )
     args = ap.parse_args()
