@@ -20,7 +20,15 @@ gamma) were tuned per-dataset on COSMO):
         +  mean_v |log spread_skill_v|
     i.e. distributional + spectral skill normalized by the no-model
     interpolated-observation baseline (ratio < 1 beats it — the H1
-    criterion) plus a calibration penalty (0 when spread/skill = 1).
+    criterion) plus a calibration penalty (0 when spread/skill = 1);
+  * conditioning constraint (VERDICT r4 weak-item 4: "turn the guidance
+    off" was a near-optimum of the unconstrained composite): with
+    ``--uncond``, one shared unconditional control ensemble (gamma-
+    independent) is generated and scored once, and a trial is FEASIBLE
+    only if, for every ``--gate-vars`` variable, guided SSIM beats the
+    unconditional control's and guided W2 is below it — guidance must
+    demonstrably condition the gated channels before its spectral score
+    counts.  Infeasible trials rank below all feasible ones.
 
 Run on TPU (one process; the first trial pays the jit compile, the rest
 reuse it):  python scripts/likelihood_sweep.py --out runs/sweep_meso64 \
@@ -55,6 +63,16 @@ def score_trial(exp_dir: pathlib.Path) -> dict:
         row["spread_skill"] = float(np.mean(m["spread_skill"][v]["global"]))
         row["rank_reliability"] = float(np.mean(m["rank_reliability"][v]["global"]))
         out["per_var"][v] = row
+        if "wasserstein_interp" not in row:
+            # interp baseline rows exist only when the obs grid strictly
+            # divides the fine grid (metrics.run); without them the composite
+            # is undefined — fail the SWEEP loudly before burning the budget
+            # on ensembles that can never be scored (ADVICE r4)
+            raise SystemExit(
+                f"metrics for {exp_dir} carry no interp_baseline rows "
+                f"(variable {v}): the observation grid must strictly divide "
+                "the fine grid for the sweep composite to be defined"
+            )
         w2_ratios.append(row["wasserstein"] / row["wasserstein_interp"])
         melr_ratios.append(row["melr"] / row["melr_interp"])
         ss_pens.append(abs(np.log(row["spread_skill"])))
@@ -68,11 +86,67 @@ def score_trial(exp_dir: pathlib.Path) -> dict:
     return out
 
 
+def run_uncond_control(out: pathlib.Path, config_path: str,
+                       num_samples: int, trial0_exp: pathlib.Path) -> dict:
+    """One shared unconditional ensemble (gamma-independent) scored once;
+    its per-variable W2/SSIM are the conditioning floors every trial must
+    beat on the gated variables."""
+    import shutil
+
+    import yaml
+
+    metrics_json = out / "uncond_metrics.json"
+    if metrics_json.exists():
+        return json.loads(metrics_json.read_text())
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg.pop("observation_path", None)  # no observation -> unconditional
+    uncfg = out / "uncond_config.yml"
+    with open(uncfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = pathlib.Path(downscaling.run(
+        save_path=str(out / "uncond"), config_path=str(uncfg),
+        num_samples=num_samples,
+    ))
+    # metrics need the observation/gt grids; the unconditional run saves
+    # neither, so borrow trial 0's (same window, same grid)
+    for nc in ("observation.nc", "ground_truth.nc"):
+        if not (exp_dir / nc).exists():
+            shutil.copy(trial0_exp / nc, exp_dir / nc)
+    m = metrics_mod.run(str(exp_dir))
+    floors = {
+        v: {
+            "ssim": float(np.mean(m["ssim"][v]["global"])),
+            "wasserstein": float(np.mean(m["wasserstein"][v]["global"])),
+            "melr": float(np.mean(m["melr"][v]["global"])),
+        }
+        for v in sorted(m["ssim"])
+    }
+    metrics_json.write_text(json.dumps(floors, indent=1))
+    return floors
+
+
+def trial_feasible(row: dict, floors: dict, gate_vars) -> bool:
+    """Conditioning constraint: guided must beat the unconditional control
+    on SSIM and W2 for every gated variable."""
+    for v in gate_vars:
+        pv = row.get("per_var", {}).get(v)
+        if pv is None or v not in floors:
+            return False
+        if not (pv["ssim"] > floors[v]["ssim"]
+                and pv["wasserstein"] < floors[v]["wasserstein"]):
+            return False
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--config", required=True)
-    ap.add_argument("--trials", type=int, default=24)
+    ap.add_argument("--trials", type=int, default=24,
+                    help="number of RANDOM trials; the COSMO-tuned reference "
+                         "point always runs on top of these as trial 0, so "
+                         "the total ensemble budget is trials+1 (ADVICE r4)")
     ap.add_argument("--num-samples", type=int, default=8)
     ap.add_argument("--base-seed", type=int, default=99)
     ap.add_argument("--start-trial", type=int, default=0,
@@ -82,6 +156,18 @@ def main():
                          "(numbered from --point-base; repeatable; skips "
                          "the random draws)")
     ap.add_argument("--point-base", type=int, default=100)
+    ap.add_argument("--guidance-prolong", action="store_true",
+                    help="run every trial of this invocation with the "
+                         "scale-selective prolong guidance (H2 formulation "
+                         "axis; use distinct --point-base per formulation "
+                         "when sharing an --out dir)")
+    ap.add_argument("--uncond", action="store_true",
+                    help="generate + score the shared unconditional control "
+                         "and enforce the conditioning constraint at ranking")
+    ap.add_argument("--uncond-samples", type=int, default=None)
+    ap.add_argument("--gate-vars", default="uas,vas",
+                    help="comma list of variables the conditioning "
+                         "constraint applies to")
     args = ap.parse_args()
 
     out = pathlib.Path(args.out)
@@ -128,12 +214,17 @@ def main():
                 config_path=args.config,
                 likelihood_std=list(sigma),
                 likelihood_gamma=gamma,
+                guidance_prolong=bool(args.guidance_prolong),
                 num_samples=args.num_samples,
             )
             row = {"trial": n, "sigma": list(sigma), "gamma": gamma,
+                   "prolong": bool(args.guidance_prolong),
                    **score_trial(pathlib.Path(exp_dir))}
+        except SystemExit:
+            raise  # unscoreable protocol: abort before burning the budget
         except Exception as e:  # isolate failures like the reference sweep
             row = {"trial": n, "sigma": list(sigma), "gamma": gamma,
+                   "prolong": bool(args.guidance_prolong),
                    "error": f"{type(e).__name__}: {e}"}
         rows.append(row)
         with open(log_path, "a") as f:
@@ -143,31 +234,62 @@ def main():
                   f"MELRr {row['melr_ratio']:.3f} calib {row['calib_penalty']:.3f})",
                   flush=True)
 
+    floors = None
+    if args.uncond:
+        trial0 = sorted(out.glob("trials/t*/0*_*/observation.nc"))
+        if not trial0:
+            raise SystemExit(
+                "--uncond needs at least one completed guided trial to "
+                "borrow the observation/ground-truth grids from"
+            )
+        floors = run_uncond_control(
+            out, args.config, args.uncond_samples or args.num_samples,
+            trial0[0].parent,
+        )
+
+    gate_vars = [v.strip() for v in args.gate_vars.split(",") if v.strip()]
     ok = [r for r in rows if "score" in r]
-    ok.sort(key=lambda r: r["score"])
+    for r in ok:
+        r["feasible"] = (trial_feasible(r, floors, gate_vars)
+                         if floors is not None else None)
+    # infeasible trials (guidance does nothing on the gated channels) rank
+    # strictly below every feasible one, whatever their composite says
+    ok.sort(key=lambda r: (r["feasible"] is False, r["score"]))
+
     def _fmt_gamma(g):
         return ("/".join(f"{x:.3g}" for x in g) if isinstance(g, list)
                 else f"{g:.3g}")
 
-    print("\n| rank | trial | sigma | gamma | score | W2r | MELRr | calib |")
-    print("|---|---|---|---|---|---|---|---|")
-    for i, r in enumerate(ok):
-        sig = "/".join(f"{s:.3g}" for s in r["sigma"])
-        print(f"| {i+1} | {r['trial']} | {sig} | {_fmt_gamma(r['gamma'])} | "
-              f"{r['score']:.3f} | {r['w2_ratio']:.3f} | {r['melr_ratio']:.3f} | "
-              f"{r['calib_penalty']:.3f} |")
+    def _table_lines():
+        yield ("| rank | trial | form | sigma | gamma | feasible | score "
+               "| W2r | MELRr | calib |")
+        yield "|---|---|---|---|---|---|---|---|---|---|"
+        for i, r in enumerate(ok):
+            sig = "/".join(f"{s:.3g}" for s in r["sigma"])
+            form = "prolong" if r.get("prolong") else "adjoint"
+            feas = {None: "n/a", True: "yes", False: "NO"}[r["feasible"]]
+            yield (f"| {i+1} | {r['trial']} | {form} | {sig} | "
+                   f"{_fmt_gamma(r['gamma'])} | {feas} | {r['score']:.3f} | "
+                   f"{r['w2_ratio']:.3f} | {r['melr_ratio']:.3f} | "
+                   f"{r['calib_penalty']:.3f} |")
+
+    print()
+    for line in _table_lines():
+        print(line)
     with open(out / "RANKING.md", "w") as f:
         f.write("# Likelihood (sigma, gamma) sweep ranking\n\n")
         f.write("Trial 0 = reference COSMO-tuned point. Score = "
-                "mean W2/interp + mean MELR/interp + mean |log spread_skill| "
-                "(lower better; ratios < 1 beat the no-model baseline).\n\n")
-        f.write("| rank | trial | sigma | gamma | score | W2r | MELRr | calib |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
-        for i, r in enumerate(ok):
-            sig = "/".join(f"{s:.3g}" for s in r["sigma"])
-            f.write(f"| {i+1} | {r['trial']} | {sig} | {_fmt_gamma(r['gamma'])} | "
-                    f"{r['score']:.3f} | {r['w2_ratio']:.3f} | "
-                    f"{r['melr_ratio']:.3f} | {r['calib_penalty']:.3f} |\n")
+                "log mean W2/interp + log mean MELR/interp + mean "
+                "|log spread_skill| (lower better; ratios < 1 beat the "
+                "no-model baseline).\n")
+        if floors is not None:
+            f.write(f"\nConditioning constraint on {gate_vars}: guided SSIM "
+                    "> unconditional AND guided W2 < unconditional "
+                    "(shared control, `uncond_metrics.json`); infeasible "
+                    "trials rank below all feasible ones.\n")
+        f.write("\n")
+        for line in _table_lines():
+            f.write(line + "\n")
     with open(out / "sweep_rows.pickle", "wb") as f:
         pickle.dump(rows, f)
 

@@ -9,6 +9,17 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Execute an IMMUTABLE COPY of this script: bash reads scripts lazily, so
+# editing an in-flight runner changes (or silently skips) steps it has not
+# reached yet — exactly how the round-4 band-diagnostic step never ran
+# (VERDICT r4 weak-item 2; docs/OPS.md failure taxonomy). The copy is
+# stamped with the PID and left in runs/ as part of the run record.
+if [ -z "${C2W_IMMUTABLE_COPY:-}" ]; then
+  mkdir -p runs
+  cp "$0" "runs/$(basename "$0").running.$$"
+  C2W_IMMUTABLE_COPY=1 exec bash "runs/$(basename "$0").running.$$" "$@"
+fi
+
 SNAP=runs/meso128/network-snapshot-0009437-0.999900
 
 # Poll for the final snapshot itself rather than a one-time PID read: the

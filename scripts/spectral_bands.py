@@ -85,6 +85,14 @@ def baseline_psd(cfg_dir: pathlib.Path, var: str, d: float):
     obs_times = np.asarray(obs_ds.time)
     gt_times = np.asarray(gt_ds.time)
     sel = np.isin(gt_times, obs_times)
+    # mirror metrics.run's coverage gate: a time-dtype or coverage mismatch
+    # would silently misalign baseline frames against the gt (ADVICE r4)
+    if sel.sum() != obs.shape[0]:
+        raise SystemExit(
+            f"{cfg_dir}: ground_truth covers {int(sel.sum())} of "
+            f"{obs.shape[0]} observation times — cannot align the interp "
+            "baseline RAPSD"
+        )
     gt = gt[sel]
     H, W = gt.shape[-2:]
     if obs.shape[1:] == (H, W) or H % obs.shape[1] or W % obs.shape[2]:
