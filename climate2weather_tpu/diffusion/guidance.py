@@ -62,6 +62,53 @@ class SpatioTemporalCoarsening:
         out = jnp.zeros((out_len, h * s, w * s, C), v.dtype)
         return out.at[:: self.t_step].set(u[: -(-out_len // self.t_step)])
 
+    def prolong(
+        self, v: jnp.ndarray, out_len: int, method: str = "spectral"
+    ) -> jnp.ndarray:
+        """Scale-selective alternative to :meth:`adjoint`: band-limited
+        prolongation of the coarse residual with the exact adjoint's
+        block-mean gain (1/s^2) and temporal structure (zero rows at
+        unobserved frames).
+
+        The exact adjoint of block-average pooling is a piecewise-constant
+        scatter whose block-edge discontinuities alias into the generative
+        and grid-scale bands (measured in docs/fidelity/meso128/BANDS.md:
+        grid-band MELR 1.33 -> 2.65 under COSMO-strength guidance), so one
+        scalar gamma cannot pin the observed scales without polluting the
+        scales the model must synthesize.
+
+        ``method='spectral'`` zero-pads the residual's Fourier spectrum onto
+        the fine grid — the exact adjoint of ideal low-pass sampling on a
+        periodic domain, with strictly zero power beyond the coarse grid's
+        representable band.  ``method='bilinear'`` is the non-periodic
+        fallback (tent kernel; ~5% of residual power leaks past twice the
+        observation Nyquist instead of 0%, but no edge ringing).
+        """
+        lo, h, w, C = v.shape
+        s = self.s_step
+        if method == "spectral":
+            spec = jnp.fft.fftshift(
+                jnp.fft.fft2(v.astype(jnp.float32), axes=(1, 2)), axes=(1, 2)
+            )
+            pad = jnp.zeros((lo, h * s, w * s, C), spec.dtype)
+            y0 = (h * s - h) // 2
+            x0 = (w * s - w) // 2
+            pad = pad.at[:, y0 : y0 + h, x0 : x0 + w, :].set(spec)
+            # ifft2's 1/(H*W) normalization supplies the 1/s^2 gain exactly
+            up = jnp.fft.ifft2(
+                jnp.fft.ifftshift(pad, axes=(1, 2)), axes=(1, 2)
+            ).real
+        elif method == "bilinear":
+            up = jax.image.resize(
+                v.astype(jnp.float32), (lo, h * s, w * s, C), method="bilinear"
+            ) / (s * s)
+        else:
+            raise ValueError(f"unknown prolong method {method!r}")
+        out = jnp.zeros((out_len, h * s, w * s, C), jnp.float32)
+        return out.at[:: self.t_step].set(
+            up[: -(-out_len // self.t_step)]
+        ).astype(v.dtype)
+
     def out_times(self, length: int) -> int:
         return -(-length // self.t_step)
 
@@ -83,6 +130,18 @@ class GaussianGuidance:
     std: Union[float, jnp.ndarray] = 1e-2
     gamma: Union[float, jnp.ndarray] = 1e-2
     exact_grad: bool = False
+    # scale-selective formulation (H2, docs/fidelity/meso128/H2_PREREG.md):
+    # spread the likelihood residual with SpatioTemporalCoarsening.prolong
+    # (band-limited below the observation Nyquist) instead of the exact
+    # piecewise-constant adjoint.  True selects the 'spectral' method; a
+    # string names one explicitly ('spectral' | 'bilinear').  Detached mode
+    # only: the update is a preconditioned score correction, not the
+    # gradient of a Gaussian likelihood, so there is no exact-grad
+    # counterpart.
+    prolong: Union[bool, str] = False
+
+    def prolong_method(self) -> str:
+        return self.prolong if isinstance(self.prolong, str) else "spectral"
 
     def _var(self, mu, sigma):
         std = jnp.asarray(self.std, jnp.float32)
@@ -107,8 +166,20 @@ class GaussianGuidance:
             eps = score_fn(x, t)
             x0 = process.denoise(x, t, eps)
             err = (self.y.astype(jnp.float32) - self.A(x0).astype(jnp.float32)) / var
-            grad = self.A.adjoint(err.astype(x.dtype), L) / mu.astype(x.dtype)
+            if self.prolong:
+                spread = self.A.prolong(
+                    err.astype(x.dtype), L, method=self.prolong_method()
+                )
+            else:
+                spread = self.A.adjoint(err.astype(x.dtype), L)
+            grad = spread / mu.astype(x.dtype)
             return eps - sigma.astype(x.dtype) * grad
+
+        if self.prolong:
+            raise ValueError(
+                "prolong guidance is a detached-mode preconditioner; "
+                "exact_grad=True has no prolonged counterpart"
+            )
 
         def log_p(xx):
             eps = score_fn(xx, t)

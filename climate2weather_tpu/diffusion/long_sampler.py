@@ -63,6 +63,7 @@ def _guidance_cache_parts(guidance):
         guidance.A.s_step,
         guidance.A.t_step,
         bool(guidance.exact_grad),
+        str(guidance.prolong),
         tuple(guidance.y.shape),
     ]
     objs = [guidance.y]
@@ -208,7 +209,12 @@ def _obs_err_nchw(guidance, process, x, eps, t):
 
 
 def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
-    """eps' = eps - sigma * A^T(err)/mu on NCHW frames [f0, f0+F)."""
+    """eps' = eps - sigma * A^T(err)/mu on NCHW frames [f0, f0+F).
+
+    ``guidance.prolong`` swaps the piecewise-constant exact adjoint for the
+    band-limited prolongation (SpatioTemporalCoarsening.prolong semantics:
+    spectral zero-pad or bilinear, same 1/s^2 block-mean gain and zero rows
+    at unobserved frames)."""
     if guidance is None:
         return eps_chunk
     A = guidance.A
@@ -221,9 +227,26 @@ def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
     err_rows = jnp.take(err, jnp.clip(obs_idx, 0, err.shape[0] - 1), axis=0)
     s = A.s_step
     Fr, C, h, w = err_rows.shape
-    up = jnp.broadcast_to(
-        err_rows[:, :, :, None, :, None] / (s * s), (Fr, C, h, s, w, s)
-    ).reshape(Fr, C, h * s, w * s)
+    if guidance.prolong and guidance.prolong_method() == "spectral":
+        spec = jnp.fft.fftshift(
+            jnp.fft.fft2(err_rows.astype(jnp.float32), axes=(-2, -1)),
+            axes=(-2, -1),
+        )
+        pad = jnp.zeros((Fr, C, h * s, w * s), spec.dtype)
+        y0 = (h * s - h) // 2
+        x0 = (w * s - w) // 2
+        pad = pad.at[:, :, y0 : y0 + h, x0 : x0 + w].set(spec)
+        up = jnp.fft.ifft2(jnp.fft.ifftshift(pad, axes=(-2, -1)),
+                           axes=(-2, -1)).real
+    elif guidance.prolong:
+        up = jax.image.resize(
+            err_rows.astype(jnp.float32), (Fr, C, h * s, w * s),
+            method="bilinear",
+        ) / (s * s)
+    else:
+        up = jnp.broadcast_to(
+            err_rows[:, :, :, None, :, None] / (s * s), (Fr, C, h, s, w, s)
+        ).reshape(Fr, C, h * s, w * s)
     grad = up * mask[:, None, None, None] / mu
     return eps_chunk - (sigma * grad).astype(eps_chunk.dtype)
 
@@ -267,6 +290,11 @@ def _make_guided_eps_and_err(
     chunked fusion.  The single home of the dispatch both long samplers
     share (predictor, corrector, and final denoise all consume it)."""
     exact = guidance is not None and guidance.exact_grad
+    if exact and guidance.prolong:
+        raise ValueError(
+            "prolong guidance is a detached-mode preconditioner; "
+            "exact_grad=True has no prolonged counterpart"
+        )
 
     def guided_eps_and_err(params_, x, t):
         if exact:

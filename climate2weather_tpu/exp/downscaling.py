@@ -107,6 +107,7 @@ def _run_impl(
     num_corrections: int = 2,
     likelihood_std: Union[float, Sequence[float]] = 1e-2,
     likelihood_gamma: Union[float, Sequence[float]] = 1e-2,
+    guidance_prolong: bool = False,
     correction_tau: float = 0.5,
     corrector_variance_exact: bool = False,
     seed: int = 0,
@@ -279,7 +280,7 @@ def _run_impl(
             guidance = (
                 GaussianGuidance(
                     A=A, y=observation, std=sigma, gamma=gamma,
-                    exact_grad=use_exact_grad,
+                    exact_grad=use_exact_grad, prolong=guidance_prolong,
                 )
                 if do_condition
                 else None
@@ -339,6 +340,7 @@ def _run_impl(
                     std=sigma,
                     gamma=gamma,
                     exact_grad=use_exact_grad,
+                    prolong=guidance_prolong,
                 )
                 score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
             else:
@@ -395,6 +397,10 @@ def _run_impl(
             )
             assert not use_exact_grad, (
                 "host_streaming supports the detached guidance mode only"
+            )
+            assert not guidance_prolong, (
+                "host_streaming implements the exact block adjoint only; "
+                "prolong guidance runs through the device samplers"
             )
             host_common = dict(
                 steps=num_sampling_steps,

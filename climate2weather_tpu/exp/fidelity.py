@@ -69,6 +69,7 @@ def run(
     data_vars: Sequence[str] = ("psl", "tas", "uas", "vas"),
     likelihood_std: Optional[Sequence[float]] = None,
     likelihood_gamma=DEFAULT_GAMMA,  # scalar or per-channel sequence
+    guidance_prolong: bool = False,
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
@@ -115,6 +116,7 @@ def run(
                 if isinstance(likelihood_gamma, (list, tuple))
                 else float(likelihood_gamma)
             ),
+            guidance_prolong=bool(guidance_prolong),
             num_samples=int(num_samples),
         ),
     )
@@ -176,7 +178,8 @@ def run(
         f"sliced W2 (100 proj.), MELR over RAPSD, SSIM "
         "(reference exp/metrics.py:219-296)",
         f"- likelihood hparams: sigma={list(likelihood_std or DEFAULT_STD)}, "
-        f"gamma={likelihood_gamma}",
+        f"gamma={likelihood_gamma}"
+        + (", prolong (scale-selective) guidance" if guidance_prolong else ""),
         "",
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
@@ -243,6 +246,11 @@ def main():
     @click.option("--likelihood-gamma", multiple=True, type=float,
                   help="guidance gamma: one value = scalar, repeat 4x for "
                        "per-channel (default = reference COSMO value)")
+    @click.option("--guidance-prolong", is_flag=True,
+                  help="scale-selective guidance: spread the likelihood "
+                       "residual with a bilinear prolongation (band-limited "
+                       "below the observation Nyquist) instead of the exact "
+                       "block adjoint (H2, docs/fidelity/meso128/H2_PREREG.md)")
     def cli(**kw):
         std = kw.pop("likelihood_std") or None
         gamma = kw.pop("likelihood_gamma")

@@ -198,3 +198,42 @@ def test_fidelity_harness(workspace, trained_run):
             for v in ("psl", "tas", "uas", "vas"):
                 vals = r[side][kind][v]["global"]
                 assert np.all(np.isfinite(vals)), (side, kind, v)
+
+
+def test_guidance_prolong_predict(workspace, trained_run):
+    """The scale-selective (prolong) guidance must run end-to-end through the
+    config surface (H2 formulation, docs/fidelity/meso128/H2_PREREG.md)."""
+    import yaml
+
+    from climate2weather_tpu.exp import downscaling
+
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=8,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=2,
+        num_samples=1,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        guidance_prolong=True,
+        t_step=2,
+        s_step=4,
+        batch_size=4,
+        seed=2,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "exp_prolong.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = downscaling.run(str(workspace / "exp_prolong_out"), cfg_path)
+    assert (exp_dir / "gen_sample_000.nc").exists()
+    frozen = yaml.safe_load((exp_dir / "config_freeze.yaml").read_text())
+    assert frozen["guidance_prolong"] is True

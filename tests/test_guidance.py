@@ -134,3 +134,90 @@ def test_per_channel_gamma_matches_autodiff():
     assert not np.allclose(
         np.asarray(got), np.asarray(g_scalar.guided_eps(score_fn, proc, x, t))
     )
+
+
+def test_prolong_equals_adjoint_on_constant_residual():
+    # both prolongation kernels reproduce constants, so the 1/s^2-gain
+    # prolongation must equal the exact adjoint exactly (same block-mean
+    # gain, same temporal zero-fill) on a constant residual
+    A = SpatioTemporalCoarsening(s_step=4, t_step=3)
+    v = jnp.full((4, 4, 4, 2), 1.7, jnp.float32)
+    for method in ("spectral", "bilinear"):
+        np.testing.assert_allclose(
+            A.prolong(v, out_len=12, method=method), A.adjoint(v, out_len=12),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_prolong_is_band_limited_below_obs_nyquist():
+    # the point of the scale-selective formulation (H2): the exact adjoint's
+    # piecewise-constant scatter aliases the residual far beyond the coarse
+    # grid's representable band; the spectral prolongation injects exactly
+    # nothing there and the bilinear fallback an order of magnitude less
+    A = SpatioTemporalCoarsening(s_step=8, t_step=1)
+    rng = np.random.RandomState(2)
+    v = jnp.asarray(rng.randn(1, 8, 8, 1).astype(np.float32))
+    adj = np.asarray(A.adjoint(v, out_len=1))[0, :, :, 0]
+    spe = np.asarray(A.prolong(v, out_len=1, method="spectral"))[0, :, :, 0]
+    bil = np.asarray(A.prolong(v, out_len=1, method="bilinear"))[0, :, :, 0]
+
+    def beyond_coarse_band(f):
+        # power at |kx| or |ky| > coarse Nyquist (4 = 64/(2*8)): nothing the
+        # 8x8 residual can represent lives there — pure aliasing/leakage
+        F = np.fft.fft2(f)
+        n = f.shape[0]
+        fr = np.abs(np.fft.fftfreq(n, 1.0 / n))
+        mask = (fr[:, None] > 4.0) | (fr[None, :] > 4.0)
+        return float((np.abs(F)[mask] ** 2).sum()), float((np.abs(F) ** 2).sum())
+
+    a_out, a_tot = beyond_coarse_band(adj)
+    s_out, s_tot = beyond_coarse_band(spe)
+    b_out, b_tot = beyond_coarse_band(bil)
+    assert a_out > 0.2 * a_tot  # the adjoint really does alias
+    assert s_out < 1e-6 * s_tot  # spectral: strictly band-limited
+    assert b_out < 0.25 * a_out  # bilinear: tent-kernel sidelobes only
+
+
+def test_prolong_guided_eps_matches_manual():
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(11)
+    L, H, W, C = 6, 8, 8, 2
+    x = jax.random.normal(rng, (L, H, W, C))
+    y = jax.random.normal(jax.random.fold_in(rng, 5), (3, 4, 4, C))
+    std = per_channel([0.2, 0.3], C)
+    gamma = 7e-4
+    t = jnp.float32(0.37)
+
+    def score_fn(xx, tt):
+        return jnp.tanh(xx) * 0.5
+
+    g = GaussianGuidance(A=A, y=y, std=std, gamma=gamma, prolong=True)
+    got = g.guided_eps(score_fn, proc, x, t)
+
+    eps = score_fn(x, t)
+    mu, sigma = proc.mu(t), proc.sigma(t)
+    var = std**2 + gamma * (sigma / mu) ** 2
+    err = (y - A((x - sigma * eps) / mu)) / var
+    want = eps - sigma * A.prolong(err, out_len=L) / mu
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # and it must differ from the exact-adjoint guidance on the same inputs
+    g_adj = GaussianGuidance(A=A, y=y, std=std, gamma=gamma, prolong=False)
+    assert not np.allclose(
+        np.asarray(got), np.asarray(g_adj.guided_eps(score_fn, proc, x, t))
+    )
+
+
+def test_prolong_exact_grad_raises():
+    import pytest
+
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(12)
+    x = jax.random.normal(rng, (6, 8, 8, 2))
+    y = jax.random.normal(jax.random.fold_in(rng, 6), (3, 4, 4, 2))
+    g = GaussianGuidance(A=A, y=y, std=0.1, gamma=1e-3, exact_grad=True,
+                         prolong=True)
+    with pytest.raises(ValueError, match="prolong"):
+        g.guided_eps(lambda xx, tt: jnp.tanh(xx), proc, x, jnp.float32(0.5))

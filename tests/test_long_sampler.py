@@ -454,3 +454,34 @@ def test_guided_long_resume_path_noop_on_clean_run(setup, rng, tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
     assert not os.path.exists(path)
+
+
+def test_long_matches_plain_guided_prolong(setup):
+    # the NCHW chunked prolongation (jax.image.resize on [F, C, H, W]) must
+    # agree with the NHWC guidance.prolong path used by the plain sampler
+    import dataclasses
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    guidance = dataclasses.replace(guidance, prolong=True)
+    want, nan_w = sample(
+        proc, lambda x, t: guidance.guided_eps(sf, proc, x, t), noise, steps=4
+    )
+    got, nan_g = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan_w) and not bool(nan_g)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_dpmpp_long_guided_prolong_runs(setup):
+    import dataclasses
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    guidance = dataclasses.replace(guidance, prolong=True)
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan)
+    assert np.isfinite(np.asarray(got)).all()
