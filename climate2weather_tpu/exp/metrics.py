@@ -405,9 +405,14 @@ def reliability_index(hist_counts: np.ndarray) -> float:
 # experiment driver
 
 
-def run(exp_dir: str) -> dict:
+def run(exp_dir: str, time_stride: int = 1) -> dict:
     """Compute all paper metrics for an experiment directory and pickle them
-    to <exp_dir>/metrics/run/metrics.pickle (reference exp/metrics.py:219-296)."""
+    to <exp_dir>/metrics/run/metrics.pickle (reference exp/metrics.py:219-296).
+
+    ``time_stride`` subsamples the observation time grid (every Nth observed
+    frame) — the scoring protocol for year-scale runs, where the full
+    1457-frame grid is hours of host time for statistically indistinguishable
+    means; the stride used is recorded in the pickle."""
     from climate2weather_tpu.exp import exputil
 
     exp_dir = pathlib.Path(exp_dir)
@@ -421,6 +426,10 @@ def run(exp_dir: str) -> dict:
     # Compare on the observation time grid only (only this method downscales
     # temporally; reference exp/metrics.py:233-240)
     obs_times = obs_ds.time
+    if time_stride > 1:
+        obs_times = obs_times[::time_stride]
+        print(f"Scoring every {time_stride}th observed frame "
+              f"({len(obs_times)} frames)")
     gt_on_obs = _sel_times(gt_ds, obs_times)
     feature_names = sorted(gt_ds.data_vars)
 
@@ -487,7 +496,7 @@ def run(exp_dir: str) -> dict:
         # must carry the full ground-truth spectrum. (Extends the reference
         # protocol, which stores the obs RAPSD for plotting only,
         # exp/metrics.py:88-95.)
-        obs_np = np.asarray(obs_ds.data_vars[v], np.float64)
+        obs_np = np.asarray(obs_ds.data_vars[v], np.float64)[::time_stride]
         H, W = np.asarray(gt_da).shape[-2:]
         if (
             obs_np.shape[0] == len(obs_times)
@@ -519,6 +528,8 @@ def run(exp_dir: str) -> dict:
                     f"{np.mean(val):.4f} \\pm {np.std(val):.4f}"
                 )
 
+    metrics["protocol"] = {"time_stride": int(time_stride),
+                           "num_times": int(len(obs_times))}
     with open(save_path / "metrics.pickle", "wb") as f:
         pickle.dump(metrics, f)
     return metrics
@@ -537,6 +548,11 @@ def load(exp_dir: str) -> dict:
         metrics = pickle.load(f)
     for metrictype, by_var in metrics.items():
         print(metrictype)
+        if metrictype == "protocol":
+            for k, v in by_var.items():
+                print(f"  {k}: {v}")
+            print()
+            continue
         for var, entries in by_var.items():
             print(f"  {var}")
             for k, v in entries.items():

@@ -55,10 +55,13 @@ def metrics():
 
 @metrics.command("run")
 @click.argument("exp_dir")
-def metrics_run(exp_dir):
+@click.option("--time-stride", default=1, type=int, show_default=True,
+              help="score every Nth observed frame (year-scale protocol; "
+                   "recorded in the metrics pickle)")
+def metrics_run(exp_dir, time_stride):
     from climate2weather_tpu.exp import metrics as m
 
-    m.run(exp_dir)
+    m.run(exp_dir, time_stride=time_stride)
 
 
 @metrics.command("load")

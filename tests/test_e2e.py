@@ -138,6 +138,15 @@ def test_train_snapshot_predict_metrics(workspace, trained_run):
             vals = m[kind][v]["global"]
             assert np.all(np.isfinite(vals)), (kind, v, vals)
 
+    # year-scale scoring protocol: every Nth observed frame, recorded
+    m2 = metrics.run(str(exp_dir), time_stride=2)
+    assert m2["protocol"]["time_stride"] == 2
+    assert m2["protocol"]["num_times"] == (len(m["melr"]) and
+                                           -(-m["protocol"]["num_times"] // 2))
+    for v in ("psl", "tas", "uas", "vas"):
+        assert np.all(np.isfinite(m2["melr"][v]["global"]))
+        assert "interp_baseline" in m2["melr"][v]  # obs rows strided too
+
 
 def test_exact_grad_predict(workspace, trained_run):
     """The autodiff guidance path must run end-to-end too."""
