@@ -246,3 +246,66 @@ def test_guidance_prolong_predict(workspace, trained_run):
     assert (exp_dir / "gen_sample_000.nc").exists()
     frozen = yaml.safe_load((exp_dir / "config_freeze.yaml").read_text())
     assert frozen["guidance_prolong"] is True
+
+
+def test_likelihood_sweep_uncond_constraint(workspace, trained_run, monkeypatch):
+    """The constrained sweep driver end-to-end: structured points, the shared
+    unconditional control, feasibility in the ranking (H2 sweep protocol)."""
+    import importlib.util
+    import json
+    import pathlib
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "likelihood_sweep",
+        pathlib.Path(__file__).resolve().parents[1] / "scripts"
+        / "likelihood_sweep.py",
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=12,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=2,
+        num_samples=2,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        t_step=3,
+        s_step=4,
+        batch_size=4,
+        seed=0,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "sweep_base.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out = workspace / "sweep_out"
+    argv = ["likelihood_sweep.py", "--out", str(out), "--config", cfg_path,
+            "--num-samples", "2", "--uncond", "--uncond-samples", "2",
+            "--gate-vars", "uas,vas",
+            "--point", "0.17,0.04,0.33,0.33,0.0007",
+            "--point-base", "200", "--guidance-prolong"]
+    monkeypatch.setattr(sys, "argv", argv)
+    sweep.main()
+
+    rows = [json.loads(l)
+            for l in (out / "sweep.jsonl").read_text().splitlines()]
+    assert len(rows) == 1 and rows[0]["trial"] == 200
+    assert rows[0]["prolong"] is True and "score" in rows[0]
+    assert (out / "uncond_metrics.json").exists()
+    ranking = (out / "RANKING.md").read_text()
+    assert "Conditioning constraint" in ranking
+    assert "prolong" in ranking
+    # feasibility column rendered (yes/NO, never n/a once --uncond ran)
+    assert "| n/a |" not in ranking
