@@ -415,6 +415,15 @@ def main():
         None if os.environ.get("C2W_BENCH_NO_SCALING") else collective_audit()
     )
 
+    # demonstrated (not extrapolated) year-run wall-clock, if the committed
+    # production run record exists (docs/fidelity/meso128/YEAR2014.md)
+    demonstrated = None
+    try:
+        with open("docs/fidelity/meso128/YEAR2014.json") as f:
+            demonstrated = json.load(f)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -457,6 +466,10 @@ def main():
                     else None
                 ),
                 **train_stats,
+                # from the committed real 8-sample year-2014 production run
+                # (includes guidance, resume checkpointing, and sample
+                # fetches — the honest end-to-end number)
+                "year2014_demonstrated": demonstrated,
                 "collective_audit_8dev": audit,
             }
         )
