@@ -139,9 +139,28 @@ class GaussianGuidance:
     # gradient of a Gaussian likelihood, so there is no exact-grad
     # counterpart.
     prolong: Union[bool, str] = False
+    # gamma(t) annealing (H4, docs/fidelity/meso128/H4_PREREG.md): release
+    # the likelihood pin at low noise levels.  ``anneal`` is the release
+    # time t_rel in the process's t in [0, 1]: the likelihood gradient is
+    # multiplied by w(t) = min(t / t_rel, 1) — full strength for t >= t_rel,
+    # ramping linearly to 0 at t = 0.  Motivation (H2_RESULT.md): the
+    # fine-band spectral injection under active guidance is model-mediated —
+    # the score network's response to off-manifold likelihood corrections —
+    # and the fine bands form late in sampling (low t), so releasing the pin
+    # there lets the model's own score shape the scales the observation
+    # cannot constrain anyway.  0 disables (exact pre-H4 behavior).
+    anneal: float = 0.0
 
     def prolong_method(self) -> str:
         return self.prolong if isinstance(self.prolong, str) else "spectral"
+
+    def anneal_weight(self, t):
+        """w(t) = min(t / t_rel, 1); 1 everywhere when annealing is off."""
+        if not self.anneal:
+            return jnp.float32(1.0)
+        return jnp.clip(
+            jnp.asarray(t, jnp.float32) / jnp.float32(self.anneal), 0.0, 1.0
+        )
 
     def _var(self, mu, sigma):
         std = jnp.asarray(self.std, jnp.float32)
@@ -173,7 +192,8 @@ class GaussianGuidance:
             else:
                 spread = self.A.adjoint(err.astype(x.dtype), L)
             grad = spread / mu.astype(x.dtype)
-            return eps - sigma.astype(x.dtype) * grad
+            w = self.anneal_weight(t).astype(x.dtype)
+            return eps - w * sigma.astype(x.dtype) * grad
 
         if self.prolong:
             raise ValueError(
@@ -188,7 +208,8 @@ class GaussianGuidance:
             return -jnp.sum(err**2 / var) / 2.0, eps
 
         grad, eps = jax.grad(log_p, has_aux=True)(x)
-        return eps - sigma.astype(x.dtype) * grad
+        w = self.anneal_weight(t).astype(x.dtype)
+        return eps - w * sigma.astype(x.dtype) * grad
 
 
 # Compatibility alias: the reference's legacy GaussianScore module

@@ -248,7 +248,8 @@ def _guided_eps_chunk_nchw(guidance, process, eps_chunk, err, f0, t):
             err_rows[:, :, :, None, :, None] / (s * s), (Fr, C, h, s, w, s)
         ).reshape(Fr, C, h * s, w * s)
     grad = up * mask[:, None, None, None] / mu
-    return eps_chunk - (sigma * grad).astype(eps_chunk.dtype)
+    w = guidance.anneal_weight(t)
+    return eps_chunk - (w * sigma * grad).astype(eps_chunk.dtype)
 
 
 def _exact_guided_eps_nchw(
@@ -279,7 +280,8 @@ def _exact_guided_eps_nchw(
         return -jnp.sum(err**2 / var) / 2.0, eps
 
     grad, eps = jax.grad(log_p, has_aux=True)(x)
-    return eps - (sigma * grad).astype(eps.dtype)
+    w = guidance.anneal_weight(t)
+    return eps - (w * sigma * grad).astype(eps.dtype)
 
 
 def _make_guided_eps_and_err(

@@ -108,6 +108,7 @@ def _run_impl(
     likelihood_std: Union[float, Sequence[float]] = 1e-2,
     likelihood_gamma: Union[float, Sequence[float]] = 1e-2,
     guidance_prolong: bool = False,
+    guidance_anneal: float = 0.0,
     correction_tau: float = 0.5,
     corrector_variance_exact: bool = False,
     seed: int = 0,
@@ -281,6 +282,7 @@ def _run_impl(
                 GaussianGuidance(
                     A=A, y=observation, std=sigma, gamma=gamma,
                     exact_grad=use_exact_grad, prolong=guidance_prolong,
+                    anneal=float(guidance_anneal),
                 )
                 if do_condition
                 else None
@@ -341,6 +343,7 @@ def _run_impl(
                     gamma=gamma,
                     exact_grad=use_exact_grad,
                     prolong=guidance_prolong,
+                    anneal=float(guidance_anneal),
                 )
                 score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
             else:
@@ -401,6 +404,9 @@ def _run_impl(
             assert not guidance_prolong, (
                 "host_streaming implements the exact block adjoint only; "
                 "prolong guidance runs through the device samplers"
+            )
+            assert not guidance_anneal, (
+                "gamma(t) annealing runs through the device samplers only"
             )
             host_common = dict(
                 steps=num_sampling_steps,

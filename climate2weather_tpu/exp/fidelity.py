@@ -70,6 +70,7 @@ def run(
     likelihood_std: Optional[Sequence[float]] = None,
     likelihood_gamma=DEFAULT_GAMMA,  # scalar or per-channel sequence
     guidance_prolong: bool = False,
+    guidance_anneal: float = 0.0,
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
@@ -117,6 +118,7 @@ def run(
                 else float(likelihood_gamma)
             ),
             guidance_prolong=bool(guidance_prolong),
+            guidance_anneal=float(guidance_anneal),
             num_samples=int(num_samples),
         ),
     )
@@ -179,7 +181,9 @@ def run(
         "(reference exp/metrics.py:219-296)",
         f"- likelihood hparams: sigma={list(likelihood_std or DEFAULT_STD)}, "
         f"gamma={likelihood_gamma}"
-        + (", prolong (scale-selective) guidance" if guidance_prolong else ""),
+        + (", prolong (scale-selective) guidance" if guidance_prolong else "")
+        + (f", anneal t_rel={guidance_anneal} (gamma(t) release)"
+           if guidance_anneal else ""),
         "",
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
@@ -251,6 +255,11 @@ def main():
                        "residual with a bilinear prolongation (band-limited "
                        "below the observation Nyquist) instead of the exact "
                        "block adjoint (H2, docs/fidelity/meso128/H2_PREREG.md)")
+    @click.option("--guidance-anneal", default=0.0, type=float,
+                  help="gamma(t) release time t_rel in [0,1]: likelihood "
+                       "gradient weighted by min(t/t_rel, 1) so the pin "
+                       "releases at low noise where the fine bands form "
+                       "(H4, docs/fidelity/meso128/H4_PREREG.md); 0 = off")
     def cli(**kw):
         std = kw.pop("likelihood_std") or None
         gamma = kw.pop("likelihood_gamma")

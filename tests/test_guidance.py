@@ -221,3 +221,66 @@ def test_prolong_exact_grad_raises():
                          prolong=True)
     with pytest.raises(ValueError, match="prolong"):
         g.guided_eps(lambda xx, tt: jnp.tanh(xx), proc, x, jnp.float32(0.5))
+
+
+def _anneal_setup():
+    proc = VPCosineProcess()
+    A = SpatioTemporalCoarsening(s_step=2, t_step=2)
+    rng = jax.random.PRNGKey(3)
+    L, H, W, C = 6, 8, 8, 2
+    x = jax.random.normal(rng, (L, H, W, C))
+    y = jax.random.normal(jax.random.fold_in(rng, 1), (3, 4, 4, C))
+
+    def score_fn(xx, tt):
+        return jnp.tanh(xx) * 0.5
+
+    return proc, A, x, y, score_fn
+
+
+def test_anneal_weight_semantics():
+    proc, A, x, y, score_fn = _anneal_setup()
+    g_off = GaussianGuidance(A=A, y=y, std=0.2, gamma=7e-4)
+    g_on = GaussianGuidance(A=A, y=y, std=0.2, gamma=7e-4, anneal=0.25)
+    assert float(g_off.anneal_weight(jnp.float32(0.1))) == 1.0
+    assert float(g_on.anneal_weight(jnp.float32(0.5))) == 1.0  # t >= t_rel
+    np.testing.assert_allclose(
+        float(g_on.anneal_weight(jnp.float32(0.1))), 0.4, rtol=1e-6
+    )
+    assert float(g_on.anneal_weight(jnp.float32(0.0))) == 0.0
+
+
+def test_anneal_interpolates_between_guided_and_unconditional():
+    """annealed = (1-w)*eps + w*guided_full — exact algebra of the weight."""
+    proc, A, x, y, score_fn = _anneal_setup()
+    g_full = GaussianGuidance(A=A, y=y, std=0.2, gamma=7e-4)
+    g_ann = GaussianGuidance(A=A, y=y, std=0.2, gamma=7e-4, anneal=0.5)
+    for t_val, w in ((0.7, 1.0), (0.25, 0.5), (0.0, 0.0)):
+        t = jnp.float32(t_val)
+        eps = score_fn(x, t)
+        full = g_full.guided_eps(score_fn, proc, x, t)
+        got = g_ann.guided_eps(score_fn, proc, x, t)
+        want = (1.0 - w) * eps + w * full
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+    # at t=0 the pin is fully released: guided == unconditional eps
+    got0 = g_ann.guided_eps(score_fn, proc, x, jnp.float32(0.0))
+    np.testing.assert_allclose(
+        np.asarray(got0), np.asarray(score_fn(x, jnp.float32(0.0))), rtol=1e-6
+    )
+
+
+def test_anneal_exact_grad_weighted_too():
+    proc, A, x, y, score_fn = _anneal_setup()
+    g_full = GaussianGuidance(A=A, y=y, std=0.2, gamma=7e-4, exact_grad=True)
+    g_ann = GaussianGuidance(
+        A=A, y=y, std=0.2, gamma=7e-4, exact_grad=True, anneal=0.5
+    )
+    t = jnp.float32(0.25)  # w = 0.5
+    eps = score_fn(x, t)
+    full = g_full.guided_eps(score_fn, proc, x, t)
+    got = g_ann.guided_eps(score_fn, proc, x, t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(0.5 * eps + 0.5 * full),
+        rtol=1e-5, atol=1e-6,
+    )

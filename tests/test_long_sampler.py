@@ -485,3 +485,34 @@ def test_dpmpp_long_guided_prolong_runs(setup):
     )
     assert not bool(nan)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_long_matches_plain_guided_anneal(setup):
+    # the NCHW chunked gamma(t) release must agree with the NHWC
+    # guidance.anneal path used by the plain sampler (H4)
+    import dataclasses
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    guidance = dataclasses.replace(guidance, anneal=0.6)
+    want, nan_w = sample(
+        proc, lambda x, t: guidance.guided_eps(sf, proc, x, t), noise, steps=4
+    )
+    got, nan_g = sample_guided_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan_w) and not bool(nan_g)
+    np.testing.assert_allclose(to_nhwc(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_dpmpp_long_guided_anneal_runs(setup):
+    import dataclasses
+
+    proc, eps_fn, params, k, sf, guidance, noise = setup
+    guidance = dataclasses.replace(guidance, anneal=0.6)
+    got, nan = sample_dpmpp2m_long(
+        proc, eps_fn, params, to_nchw(noise),
+        markov_order=k, chunk_size=4, guidance=guidance, steps=4, frame_chunk=5,
+    )
+    assert not bool(nan)
+    assert np.isfinite(np.asarray(got)).all()
