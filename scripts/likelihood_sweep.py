@@ -161,6 +161,10 @@ def main():
                          "scale-selective prolong guidance (H2 formulation "
                          "axis; use distinct --point-base per formulation "
                          "when sharing an --out dir)")
+    ap.add_argument("--guidance-anneal", type=float, default=0.0,
+                    help="run every trial of this invocation with gamma(t) "
+                         "release time t_rel (H4 formulation axis, "
+                         "diffusion/guidance.py anneal); 0 = off")
     ap.add_argument("--uncond", action="store_true",
                     help="generate + score the shared unconditional control "
                          "and enforce the conditioning constraint at ranking")
@@ -215,16 +219,19 @@ def main():
                 likelihood_std=list(sigma),
                 likelihood_gamma=gamma,
                 guidance_prolong=bool(args.guidance_prolong),
+                guidance_anneal=float(args.guidance_anneal),
                 num_samples=args.num_samples,
             )
             row = {"trial": n, "sigma": list(sigma), "gamma": gamma,
                    "prolong": bool(args.guidance_prolong),
+                   "anneal": float(args.guidance_anneal),
                    **score_trial(pathlib.Path(exp_dir))}
         except SystemExit:
             raise  # unscoreable protocol: abort before burning the budget
         except Exception as e:  # isolate failures like the reference sweep
             row = {"trial": n, "sigma": list(sigma), "gamma": gamma,
                    "prolong": bool(args.guidance_prolong),
+                   "anneal": float(args.guidance_anneal),
                    "error": f"{type(e).__name__}: {e}"}
         rows.append(row)
         with open(log_path, "a") as f:
