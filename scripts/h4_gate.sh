@@ -17,9 +17,13 @@ if [ -z "${C2W_IMMUTABLE_COPY:-}" ]; then
   C2W_IMMUTABLE_COPY=1 exec bash "runs/$(basename "$0").running.$$" "$@"
 fi
 
-echo "[h4] waiting for runs/h3_eval.DONE"
-while [ ! -f runs/h3_eval.DONE ]; do sleep 60; done
-echo "[h4] chip free at $(date -u +%FT%TZ)"
+# Round-5 second-recycle reorder (H4_PREREG deviations log): H4 depends
+# only on the ARCHIVED snapshot, so under clock pressure it runs
+# concurrently with the H3 extension trainer (measured-safe working set,
+# docs/OPS.md) instead of after the H3 eval. Gate on either marker.
+echo "[h4] waiting for runs/h4_go or runs/h3_eval.DONE"
+while [ ! -f runs/h4_go ] && [ ! -f runs/h3_eval.DONE ]; do sleep 30; done
+echo "[h4] go at $(date -u +%FT%TZ)"
 
 SNAP=artifacts/network-snapshot-0009437-0.999900
 common=(--snapshot "${SNAP}"

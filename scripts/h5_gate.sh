@@ -19,8 +19,11 @@ if [ -z "${C2W_IMMUTABLE_COPY:-}" ]; then
   C2W_IMMUTABLE_COPY=1 exec bash "runs/$(basename "$0").running.$$" "$@"
 fi
 
-echo "[h5] waiting for runs/h4_gate.DONE"
-while [ ! -f runs/h4_gate.DONE ]; do sleep 60; done
+# Round-5 second-recycle reorder: H4 now completes concurrently with the
+# extension trainer, so the quiet-chip gate for H5 is BOTH the H4 marker
+# and the H3 final eval (which itself waits for trainer exit).
+echo "[h5] waiting for runs/h4_gate.DONE and runs/h3_eval.DONE"
+while [ ! -f runs/h4_gate.DONE ] || [ ! -f runs/h3_eval.DONE ]; do sleep 30; done
 echo "[h5] chip free at $(date -u +%FT%TZ)"
 
 # Extended snapshot: highest completed 0.9999 EMA beyond the 9437Ki base.
