@@ -32,6 +32,7 @@ from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -108,6 +109,98 @@ class SpatioTemporalCoarsening:
         return out.at[:: self.t_step].set(
             up[: -(-out_len // self.t_step)]
         ).astype(v.dtype)
+
+    def project(
+        self,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        iters: int = 3,
+        method: str = "spectral",
+    ) -> jnp.ndarray:
+        """t=0 data-consistency projection (H6, docs/fidelity/meso128/
+        H6_PREREG.md): return x' with A(x') = y exactly at observed frames,
+        leaving unobserved frames untouched.
+
+        ``method='block'`` adds the piecewise-constant right-inverse
+        s^2 * adjoint(y - A(x)) — exact in ONE pass (block-mean of a
+        block-constant fill is the fill), but the added staircase carries
+        power at all wavenumbers (the aliasing H2 measured for the adjoint).
+
+        ``method='spectral'`` adds the exact minimum-norm BAND-LIMITED
+        correction instead: block-averaging is diagonal on Fourier modes
+        within the coarse band (Dirichlet-kernel gains, derivation in the
+        inline comment), so dividing the residual spectrum by those gains
+        and trig-interpolating solves A(x + delta) = y directly with zero
+        power above the coarse grid's representable band; a short Richardson
+        polish absorbs the self-conjugate Nyquist-bin realness projection
+        (property-tested in tests/test_t0_project.py).
+
+        Motivation (H4_RESULT.md): the guided-sampling spectral injection is
+        locked in by the pinned early/mid trajectory and neither annealing
+        nor the prolonged operator releases it; acting on the FINAL state
+        decouples observation consistency from the sampling-time likelihood
+        pin entirely.
+        """
+        if method == "block":
+            s2 = jnp.float32(self.s_step * self.s_step)
+            r = y.astype(jnp.float32) - self(x).astype(jnp.float32)
+            return (
+                x.astype(jnp.float32) + s2 * self.adjoint(r, x.shape[0])
+            ).astype(x.dtype)
+        if method != "spectral":
+            raise ValueError(
+                f"project supports 'spectral' | 'block' (got {method!r}); "
+                "tent-kernel prolongation is not block-mean invertible"
+            )
+        # Block-averaging acts DIAGONALLY on Fourier modes: a fine mode k
+        # (per axis) restricted to the coarse band maps to coarse mode k
+        # with the Dirichlet gain
+        #     D_k = exp(i pi k (s-1)/H) * sin(pi k s / H) / (s sin(pi k / H))
+        # (the phase is the half-block offset between block centers and the
+        # corner-aligned trig interpolant; D_0 = 1).  Dividing the residual
+        # spectrum by D_k and zero-pad interpolating is therefore the EXACT
+        # minimum-norm band-limited right-inverse — no power above the
+        # coarse band, A(x + delta) = y to round-off.  The one impurity is
+        # the self-conjugate coarse Nyquist bin (even h), whose complex
+        # division leaks into the imaginary part that `.real` discards; the
+        # Richardson polish below contracts that residual by ~|D_nyq| per
+        # pass, reaching float32 round-off within `iters`.
+        lo, h, w, C = y.shape
+        L = x.shape[0]
+        s = self.s_step
+        Hf, Wf = h * s, w * s
+
+        def _gain(n_coarse, n_fine):
+            k = np.fft.fftfreq(n_coarse) * n_coarse  # integer frequencies
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d = np.sin(np.pi * k * s / n_fine) / (
+                    s * np.sin(np.pi * k / n_fine)
+                )
+            d[k == 0] = 1.0
+            return d * np.exp(1j * np.pi * k * (s - 1) / n_fine)
+
+        D = np.fft.fftshift(np.outer(_gain(h, Hf), _gain(w, Wf)))
+        D = jnp.asarray(D.astype(np.complex64))[None, :, :, None]
+
+        y0, x0 = (Hf - h) // 2, (Wf - w) // 2
+        for _ in range(int(iters)):
+            r = y.astype(jnp.float32) - self(x).astype(jnp.float32)
+            spec = jnp.fft.fftshift(
+                jnp.fft.fft2(r, axes=(1, 2)), axes=(1, 2)
+            ) / D
+            pad = jnp.zeros((lo, Hf, Wf, C), spec.dtype)
+            pad = pad.at[:, y0 : y0 + h, x0 : x0 + w, :].set(spec)
+            # ifft2's 1/(Hf*Wf) normalization cancels the coarse fft's h*w
+            # up to the s^2 interpolation gain, exactly as in `prolong`
+            up = jnp.fft.ifft2(
+                jnp.fft.ifftshift(pad, axes=(1, 2)), axes=(1, 2)
+            ).real * jnp.float32(s * s)
+            delta = jnp.zeros((L, Hf, Wf, C), jnp.float32)
+            delta = delta.at[:: self.t_step].set(
+                up[: -(-L // self.t_step)]
+            )
+            x = (x.astype(jnp.float32) + delta).astype(x.dtype)
+        return x
 
     def out_times(self, length: int) -> int:
         return -(-length // self.t_step)

@@ -109,6 +109,15 @@ def _run_impl(
     likelihood_gamma: Union[float, Sequence[float]] = 1e-2,
     guidance_prolong: bool = False,
     guidance_anneal: float = 0.0,
+    # t=0 data-consistency projection (H6, docs/fidelity/meso128/
+    # H6_PREREG.md): project each finished sample onto {x : A(x) = y}.
+    # '' = off; 'spectral' | 'bilinear' = band-limited Richardson
+    # projection; 'block' = exact piecewise-constant right-inverse.
+    t0_project: str = "",
+    t0_project_iters: int = 3,
+    # sample WITHOUT likelihood guidance while still loading the
+    # observation (projection-only designs: H6 point A)
+    guidance_off: bool = False,
     correction_tau: float = 0.5,
     corrector_variance_exact: bool = False,
     seed: int = 0,
@@ -261,6 +270,13 @@ def _run_impl(
     # detached (analytic adjoint, production) and exact-grad (autodiff
     # through the remat'd window scan).
     use_long = not host_streaming and L > long_trajectory_threshold
+    if (use_long or host_streaming) and (t0_project or guidance_off):
+        raise ValueError(
+            "t0_project / guidance_off run through the short-trajectory "
+            "device sampler only (H6 evaluates the 49 h fidelity window); "
+            f"got L={L} with "
+            + ("long" if use_long else "host-streaming") + " path selected"
+        )
     if use_long:
         from climate2weather_tpu.diffusion.long_sampler import (
             sample_dpmpp2m_long,
@@ -335,7 +351,7 @@ def _run_impl(
                 eps_fn, params, markov_order, chunk_size=batch_size,
                 window_sharding=None if ensemble_batch > 1 else win_sharding,
             )
-            if do_condition:
+            if do_condition and not guidance_off:
                 guidance = GaussianGuidance(
                     A=A,
                     y=observation,
@@ -348,7 +364,7 @@ def _run_impl(
                 score_fn = lambda x, t: guidance.guided_eps(score, process, x, t)
             else:
                 score_fn = score
-            return sampler_fn(
+            out, nan_flag = sampler_fn(
                 process,
                 score_fn,
                 noise,
@@ -356,6 +372,12 @@ def _run_impl(
                 rng=rng,
                 **sampler_extra,
             )
+            if do_condition and t0_project:
+                out = A.project(
+                    out, observation,
+                    iters=int(t0_project_iters), method=str(t0_project),
+                )
+            return out, nan_flag
 
         if ensemble_batch > 1:
             sample_one = jax.jit(
@@ -364,6 +386,12 @@ def _run_impl(
         else:
             sample_one = jax.jit(_sample_impl)
 
+    if do_condition and guidance_off:
+        print("Likelihood guidance OFF (sampling unconditionally; "
+              "observation kept for the t=0 projection).")
+    if do_condition and t0_project:
+        print(f"t=0 data-consistency projection: method={t0_project}, "
+              f"iters={t0_project_iters}")
     print("Starting sampling...")
     eb = max(1, int(ensemble_batch)) if not (use_long or host_streaming) else 1
     for group_start in range(0, num_samples_local, eb):

@@ -71,6 +71,9 @@ def run(
     likelihood_gamma=DEFAULT_GAMMA,  # scalar or per-channel sequence
     guidance_prolong: bool = False,
     guidance_anneal: float = 0.0,
+    t0_project: str = "",
+    t0_project_iters: int = 3,
+    guidance_off: bool = False,
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
@@ -119,6 +122,9 @@ def run(
             ),
             guidance_prolong=bool(guidance_prolong),
             guidance_anneal=float(guidance_anneal),
+            t0_project=str(t0_project),
+            t0_project_iters=int(t0_project_iters),
+            guidance_off=bool(guidance_off),
             num_samples=int(num_samples),
         ),
     )
@@ -183,7 +189,10 @@ def run(
         f"gamma={likelihood_gamma}"
         + (", prolong (scale-selective) guidance" if guidance_prolong else "")
         + (f", anneal t_rel={guidance_anneal} (gamma(t) release)"
-           if guidance_anneal else ""),
+           if guidance_anneal else "")
+        + (", guidance OFF (projection-only)" if guidance_off else "")
+        + (f", t0-projection method={t0_project} iters={t0_project_iters}"
+           if t0_project else ""),
         "",
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
@@ -260,6 +269,19 @@ def main():
                        "gradient weighted by min(t/t_rel, 1) so the pin "
                        "releases at low noise where the fine bands form "
                        "(H4, docs/fidelity/meso128/H4_PREREG.md); 0 = off")
+    @click.option("--t0-project", default="",
+                  type=click.Choice(["", "spectral", "block"]),
+                  help="t=0 data-consistency projection of each finished "
+                       "sample onto {x : A(x) = y} (H6, docs/fidelity/"
+                       "meso128/H6_PREREG.md): 'spectral' = exact band-"
+                       "limited Dirichlet-gain inverse, 'block' = exact "
+                       "piecewise-constant right-inverse; empty = off")
+    @click.option("--t0-project-iters", default=3, type=int,
+                  help="Nyquist-bin polish passes for the spectral "
+                       "projection")
+    @click.option("--guidance-off", is_flag=True,
+                  help="sample the conditioned ensemble WITHOUT likelihood "
+                       "guidance (projection-only designs: H6 point A)")
     def cli(**kw):
         std = kw.pop("likelihood_std") or None
         gamma = kw.pop("likelihood_gamma")

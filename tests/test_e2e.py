@@ -248,6 +248,66 @@ def test_guidance_prolong_predict(workspace, trained_run):
     assert frozen["guidance_prolong"] is True
 
 
+def test_t0_project_predict(workspace, trained_run):
+    """Projection-only conditioning end-to-end (H6 point A, docs/fidelity/
+    meso128/H6_PREREG.md): guidance OFF during sampling, t=0 band-limited
+    data-consistency projection after — the saved sample's block means at
+    observed times must equal the observation exactly (both are
+    denormalized through the same per-channel affine, which commutes with
+    block-averaging)."""
+    import yaml
+
+    import numpy as np
+
+    from climate2weather_tpu.data.grid import open_grid
+    from climate2weather_tpu.exp import downscaling
+
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    s_step, t_step = 4, 2
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=8,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=2,
+        num_samples=1,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        guidance_off=True,
+        t0_project="spectral",
+        t0_project_iters=2,
+        t_step=t_step,
+        s_step=s_step,
+        batch_size=4,
+        seed=3,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "exp_t0proj.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = downscaling.run(str(workspace / "exp_t0proj_out"), cfg_path)
+    assert (exp_dir / "gen_sample_000.nc").exists()
+    frozen = yaml.safe_load((exp_dir / "config_freeze.yaml").read_text())
+    assert frozen["t0_project"] == "spectral" and frozen["guidance_off"] is True
+
+    gen = open_grid(str(exp_dir / "gen_sample_000.nc"))
+    obs = open_grid(str(exp_dir / "observation.nc"))
+    for v in ("psl", "uas"):
+        g = np.asarray(gen.data_vars[v])[::t_step]
+        lo, H, W = g.shape
+        blocks = g.reshape(lo, H // s_step, s_step, W // s_step, s_step)
+        means = blocks.mean(axis=(2, 4))
+        o = np.asarray(obs.data_vars[v])[: means.shape[0]]
+        span = max(float(np.abs(o).max()), 1.0)
+        assert np.abs(means - o).max() < 1e-3 * span, v
+
+
 def test_likelihood_sweep_uncond_constraint(workspace, trained_run, monkeypatch):
     """The constrained sweep driver end-to-end: structured points, the shared
     unconditional control, feasibility in the ranking (H2 sweep protocol)."""
