@@ -118,6 +118,10 @@ def _run_impl(
     # sample WITHOUT likelihood guidance while still loading the
     # observation (projection-only designs: H6 point A)
     guidance_off: bool = False,
+    # climatological spectral calibration (H7): path to the TRAINING
+    # normed h5; each sample's out-of-obs-band annulus amplitudes are
+    # rescaled to the training climatology (diffusion/calibrate.py)
+    spectral_calibrate: str = "",
     correction_tau: float = 0.5,
     corrector_variance_exact: bool = False,
     seed: int = 0,
@@ -270,12 +274,28 @@ def _run_impl(
     # detached (analytic adjoint, production) and exact-grad (autodiff
     # through the remat'd window scan).
     use_long = not host_streaming and L > long_trajectory_threshold
-    if (use_long or host_streaming) and (t0_project or guidance_off):
+    if (use_long or host_streaming) and (
+        t0_project or guidance_off or spectral_calibrate
+    ):
         raise ValueError(
-            "t0_project / guidance_off run through the short-trajectory "
-            "device sampler only (H6 evaluates the 49 h fidelity window); "
-            f"got L={L} with "
+            "t0_project / guidance_off / spectral_calibrate run through the "
+            "short-trajectory device sampler only (H6/H7 evaluate the 49 h "
+            f"fidelity window); got L={L} with "
             + ("long" if use_long else "host-streaming") + " path selected"
+        )
+    calib_target = None
+    if spectral_calibrate:
+        from climate2weather_tpu.diffusion.calibrate import (
+            climatological_annulus_psd,
+        )
+
+        calib_target = jnp.asarray(
+            climatological_annulus_psd(spectral_calibrate, s_step=s_step)
+        )
+        print(
+            f"Climatological spectral calibration target from "
+            f"{spectral_calibrate}: {tuple(calib_target.shape)} "
+            "(channel x annulus)"
         )
     if use_long:
         from climate2weather_tpu.diffusion.long_sampler import (
@@ -372,6 +392,12 @@ def _run_impl(
                 rng=rng,
                 **sampler_extra,
             )
+            if calib_target is not None:
+                from climate2weather_tpu.diffusion.calibrate import (
+                    calibrate_trajectory,
+                )
+
+                out = calibrate_trajectory(out, calib_target, s_step)
             if do_condition and t0_project:
                 out = A.project(
                     out, observation,

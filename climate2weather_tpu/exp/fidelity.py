@@ -74,6 +74,7 @@ def run(
     t0_project: str = "",
     t0_project_iters: int = 3,
     guidance_off: bool = False,
+    spectral_calibrate: str = "",
     uncond_samples: Optional[int] = None,
     seed: int = 0,
     skip_figures: bool = False,
@@ -125,6 +126,7 @@ def run(
             t0_project=str(t0_project),
             t0_project_iters=int(t0_project_iters),
             guidance_off=bool(guidance_off),
+            spectral_calibrate=str(spectral_calibrate),
             num_samples=int(num_samples),
         ),
     )
@@ -192,7 +194,9 @@ def run(
            if guidance_anneal else "")
         + (", guidance OFF (projection-only)" if guidance_off else "")
         + (f", t0-projection method={t0_project} iters={t0_project_iters}"
-           if t0_project else ""),
+           if t0_project else "")
+        + (f", climatological spectral calibration ({spectral_calibrate})"
+           if spectral_calibrate else ""),
         "",
         "| metric | variable | guided | unconditional | interp. obs baseline |",
         "|---|---|---|---|---|",
@@ -282,6 +286,11 @@ def main():
     @click.option("--guidance-off", is_flag=True,
                   help="sample the conditioned ensemble WITHOUT likelihood "
                        "guidance (projection-only designs: H6 point A)")
+    @click.option("--spectral-calibrate", default="",
+                  help="path to the TRAINING normed h5: rescale each "
+                       "sample's out-of-obs-band annulus amplitudes to the "
+                       "training-set climatological spectrum (H7, docs/"
+                       "fidelity/meso128/H7_PREREG.md); empty = off")
     def cli(**kw):
         std = kw.pop("likelihood_std") or None
         gamma = kw.pop("likelihood_gamma")

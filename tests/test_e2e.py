@@ -308,6 +308,94 @@ def test_t0_project_predict(workspace, trained_run):
         assert np.abs(means - o).max() < 1e-3 * span, v
 
 
+def test_spectral_calibrate_predict(workspace, trained_run):
+    """H7 point-B path end-to-end: guided sampling + climatological spectral
+    calibration + t=0 projection. The saved (denormalized) sample's
+    out-of-obs-band annulus PSD must be an affine-scale multiple of the
+    training-climatology target (denormalization is per-channel affine:
+    PSD scales by a single factor per channel), and projection consistency
+    must survive the composition."""
+    import yaml
+
+    import numpy as np
+
+    from climate2weather_tpu.data.grid import open_grid
+    from climate2weather_tpu.diffusion.calibrate import (
+        annulus_index_map,
+        climatological_annulus_psd,
+        obs_square_mask,
+    )
+    from climate2weather_tpu.exp import downscaling
+
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    s_step, t_step = 4, 2
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=8,
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        num_sampling_steps=2,
+        num_samples=1,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        spectral_calibrate=str(workspace / "train.h5"),
+        t0_project="spectral",
+        t0_project_iters=2,
+        t_step=t_step,
+        s_step=s_step,
+        batch_size=4,
+        seed=5,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "exp_calib.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = downscaling.run(str(workspace / "exp_calib_out"), cfg_path)
+    assert (exp_dir / "gen_sample_000.nc").exists()
+    frozen = yaml.safe_load((exp_dir / "config_freeze.yaml").read_text())
+    assert frozen["spectral_calibrate"].endswith("train.h5")
+
+    target = climatological_annulus_psd(str(workspace / "train.h5"),
+                                        s_step=s_step)
+    gen = open_grid(str(exp_dir / "gen_sample_000.nc"))
+    obs = open_grid(str(exp_dir / "observation.nc"))
+    idx, n_bins = annulus_index_map(16, 16)
+    outside = ~obs_square_mask(16, 16, s_step)
+    sel = idx[outside]
+    counts = np.bincount(sel, minlength=n_bins).astype(float)
+    for c, v in enumerate(sorted(["psl", "tas", "uas", "vas"])):
+        g = np.asarray(gen.data_vars[v])
+        F = np.fft.fftshift(np.fft.fft2(g), axes=(1, 2))
+        p2 = (np.abs(F) ** 2 / (16 * 16))[:, outside].mean(axis=0)
+        sums = np.zeros(n_bins)
+        np.add.at(sums, sel, p2)
+        got = np.divide(sums, counts, out=np.zeros(n_bins), where=counts > 0)
+        good = target[c] > 1e-10
+        ratio = got[good] / target[c][good]
+        # one affine scale per channel up to the max_gain clamp: the tiny
+        # 2-step model's annulus powers are near-zero so the clamp engages
+        # per-frame and scatters the profile; exact target matching is
+        # pinned by tests/test_spectral_calibrate.py on realistic power —
+        # here assert the profile is within a factor 2 (plumbing, not
+        # precision)
+        assert ratio.max() / max(ratio.min(), 1e-12) < 2.0, (v, ratio)
+        # projection consistency on the same saved sample (tolerance is
+        # relative to the FIELD scale: fp32 ffts are exact to ~1e-7 of the
+        # field amplitude, and the tiny model's calibrated amplitude is
+        # arbitrary)
+        o = np.asarray(obs.data_vars[v])
+        gt_means = g[::t_step].reshape(-1, 4, s_step, 4, s_step).mean(
+            axis=(2, 4))[: o.shape[0]]
+        span = max(float(np.abs(g).max()), float(np.abs(o).max()), 1.0)
+        assert np.abs(gt_means - o).max() < 1e-4 * span, v
+
+
 def test_likelihood_sweep_uncond_constraint(workspace, trained_run, monkeypatch):
     """The constrained sweep driver end-to-end: structured points, the shared
     unconditional control, feasibility in the ranking (H2 sweep protocol)."""
