@@ -133,3 +133,74 @@ def calibrate_trajectory(
         jnp.fft.ifftshift(Fs * gain, axes=(1, 2)), axes=(1, 2)
     ).real
     return out.astype(x.dtype)
+
+
+def postprocess_long_nchw(
+    x: jnp.ndarray,
+    calib_target=None,
+    s_step: int = 16,
+    observation=None,
+    t_step: int = 6,
+    method: str = "spectral",
+    iters: int = 3,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Year-scale t=0 post-processing for NCHW long-sampler trajectories,
+    in the short-path order (exp/downscaling.py _sample_impl):
+    climatological calibration first, then data-consistency projection.
+
+    Both post-processes are per-frame spatial operators, so a trajectory
+    too long for one FFT pass (a year = 8737 frames; the full-trajectory
+    complex64 spectrum alone is ~4.6 GB) is processed in time chunks:
+
+    - calibration touches every frame — chunked jitted map over
+      [chunk, H, W, C] slices;
+    - projection (guidance.SpatioTemporalCoarsening.project) only
+      constrains frames at ``::t_step`` (A subsamples time before pooling),
+      so it runs on the gathered observed-frame subset with a t_step=1
+      operator and scatters back — exactly equal to projecting the full
+      trajectory (property test: tests/test_long_post.py).
+
+    Chunks compute at fp32 and cast back to the trajectory dtype (bf16 at
+    year scale). ``observation`` is the NHWC [lo, h, w, C] device array;
+    pass None to skip projection (unconditional runs calibrate only).
+    """
+    import jax
+
+    L = x.shape[0]
+    if calib_target is not None:
+        target = jnp.asarray(calib_target)
+
+        @jax.jit
+        def _cal(c_nchw):
+            nhwc = jnp.transpose(c_nchw, (0, 2, 3, 1))
+            out = calibrate_trajectory(nhwc, target, s_step)
+            return jnp.transpose(out, (0, 3, 1, 2)).astype(c_nchw.dtype)
+
+        x = jnp.concatenate(
+            [_cal(x[i : i + chunk]) for i in range(0, L, chunk)], axis=0
+        )
+
+    if observation is not None and method:
+        from climate2weather_tpu.diffusion.guidance import (
+            SpatioTemporalCoarsening,
+        )
+
+        A1 = SpatioTemporalCoarsening(s_step=s_step, t_step=1)
+        idx = np.arange(0, L, t_step)
+        lo = observation.shape[0]
+        if len(idx) != lo:
+            raise ValueError(
+                f"observation has {lo} frames but the trajectory observes "
+                f"{len(idx)} (L={L}, t_step={t_step})"
+            )
+        for j in range(0, lo, chunk):
+            sel = jnp.asarray(idx[j : j + chunk])
+            sub = jnp.transpose(x[sel], (0, 2, 3, 1))
+            proj = A1.project(
+                sub, observation[j : j + chunk], iters=iters, method=method
+            )
+            x = x.at[sel].set(
+                jnp.transpose(proj, (0, 3, 1, 2)).astype(x.dtype)
+            )
+    return x

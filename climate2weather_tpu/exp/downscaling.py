@@ -274,14 +274,13 @@ def _run_impl(
     # detached (analytic adjoint, production) and exact-grad (autodiff
     # through the remat'd window scan).
     use_long = not host_streaming and L > long_trajectory_threshold
-    if (use_long or host_streaming) and (
-        t0_project or guidance_off or spectral_calibrate
-    ):
+    if host_streaming and (t0_project or guidance_off or spectral_calibrate):
         raise ValueError(
-            "t0_project / guidance_off / spectral_calibrate run through the "
-            "short-trajectory device sampler only (H6/H7 evaluate the 49 h "
-            f"fidelity window); got L={L} with "
-            + ("long" if use_long else "host-streaming") + " path selected"
+            "t0_project / guidance_off / spectral_calibrate are not "
+            "implemented for the host-streaming tier (the NCHW long sampler "
+            f"covers trajectories up to HBM; got L={L}); on the long path "
+            "they run as chunked device post-processing "
+            "(diffusion/calibrate.postprocess_long_nchw)"
         )
     calib_target = None
     if spectral_calibrate:
@@ -320,7 +319,7 @@ def _run_impl(
                     exact_grad=use_exact_grad, prolong=guidance_prolong,
                     anneal=float(guidance_anneal),
                 )
-                if do_condition
+                if do_condition and not guidance_off
                 else None
             )
             common = dict(
@@ -534,6 +533,28 @@ def _run_impl(
                 if use_long:
                     _cur_sample["id"] = sample_id
                 gen, nan_flag = sample_one(params, observation, noise, skey)
+                if use_long and (
+                    calib_target is not None
+                    or (do_condition and t0_project)
+                ):
+                    # short-path t=0 post-processing (calibrate, then
+                    # project) applied chunk-wise on the NCHW device
+                    # trajectory before the fetch
+                    from climate2weather_tpu.diffusion.calibrate import (
+                        postprocess_long_nchw,
+                    )
+
+                    gen = postprocess_long_nchw(
+                        gen,
+                        calib_target=calib_target,
+                        s_step=s_step,
+                        observation=observation
+                        if (do_condition and t0_project)
+                        else None,
+                        t_step=t_step,
+                        method=str(t0_project) or "spectral",
+                        iters=int(t0_project_iters),
+                    )
                 gen = fetch_as_float32(gen)
                 nan_per_sample = np.asarray([bool(jax.device_get(nan_flag))])
         total = _time.time() - t0

@@ -396,6 +396,74 @@ def test_spectral_calibrate_predict(workspace, trained_run):
         assert np.abs(gt_means - o).max() < 1e-4 * span, v
 
 
+def test_long_path_calibrate_project_predict(workspace, trained_run):
+    """The winning pipeline (guidance + SDE dpmpp2m + climatological
+    calibration + t=0 projection) through the NCHW memory-bounded LONG
+    sampler (long_trajectory_threshold forced below num_hours) — the
+    year-scale configuration (H9/YEAR2014). Calibration and projection run
+    as chunked device post-processing (diffusion/calibrate.
+    postprocess_long_nchw); the saved sample's block means at observed
+    times must equal the observation."""
+    import yaml
+
+    import numpy as np
+
+    from climate2weather_tpu.data.grid import open_grid
+    from climate2weather_tpu.exp import downscaling
+
+    run_dir = trained_run
+    snaps = [d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")]
+    s_step, t_step = 4, 2
+    cfg = dict(
+        model_path=os.path.join(run_dir, snaps[0]),
+        data_path=str(workspace / "merged.nc"),
+        quantile_path=str(workspace / "quantiles.nc"),
+        start_time="2014-01-01-00",
+        num_hours=8,
+        long_trajectory_threshold=6,  # force the long path at L=8
+        data_norm_mode="quant95",
+        observation_path=str(workspace / "merged.nc"),
+        data_vars=["psl", "tas", "uas", "vas"],
+        sampler_kind="dpmpp2m",
+        sde_eta=0.3,
+        denoise_final=True,
+        num_sampling_steps=4,
+        num_samples=1,
+        num_corrections=0,
+        likelihood_std=[0.17, 0.04, 0.33, 0.33],
+        likelihood_gamma=7e-4,
+        spectral_calibrate=str(workspace / "train.h5"),
+        t0_project="spectral",
+        t0_project_iters=2,
+        t_step=t_step,
+        s_step=s_step,
+        batch_size=4,
+        seed=7,
+        use_exact_grad=False,
+    )
+    cfg_path = str(workspace / "exp_long_calib.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = downscaling.run(str(workspace / "exp_long_calib_out"), cfg_path)
+    assert (exp_dir / "gen_sample_000.nc").exists()
+    frozen = yaml.safe_load((exp_dir / "config_freeze.yaml").read_text())
+    assert frozen["spectral_calibrate"].endswith("train.h5")
+    assert frozen["long_trajectory_threshold"] == 6
+
+    gen = open_grid(str(exp_dir / "gen_sample_000.nc"))
+    obs = open_grid(str(exp_dir / "observation.nc"))
+    for v in ("psl", "uas"):
+        g = np.asarray(gen.data_vars[v])
+        assert np.isfinite(g).all(), v
+        o = np.asarray(obs.data_vars[v])
+        gt_means = g[::t_step].reshape(-1, 4, s_step, 4, s_step).mean(
+            axis=(2, 4))[: o.shape[0]]
+        # bf16 is only used beyond 4000 frames; at L=8 the trajectory is
+        # fp32, same tolerance as the short-path test
+        span = max(float(np.abs(g).max()), float(np.abs(o).max()), 1.0)
+        assert np.abs(gt_means - o).max() < 1e-4 * span, v
+
+
 def test_likelihood_sweep_uncond_constraint(workspace, trained_run, monkeypatch):
     """The constrained sweep driver end-to-end: structured points, the shared
     unconditional control, feasibility in the ranking (H2 sweep protocol)."""
