@@ -18,11 +18,26 @@ if [ -z "${C2W_IMMUTABLE_COPY:-}" ]; then
   C2W_IMMUTABLE_COPY=1 exec bash "runs/$(basename "$0").running.$$" "$@"
 fi
 
+# hard-fail before burning chip time: the year eval grid is regenerable
+# (synthesize_cosmo_like(8760, res=128, seed=1, spectrum='mesoscale') — it
+# was lost once to a VM recycle) but predict must never start without it
+if [ ! -f runs/synth_meso128/eval_year.nc ]; then
+  echo "[year_winning] FATAL: runs/synth_meso128/eval_year.nc missing"
+  exit 1
+fi
+
 echo "[year_winning] predict start $(date -u +%FT%TZ)"
 python experiment.py predict \
   --save-path runs/year2014_winning \
   --config-path exp/configs/001_clim-downscaling/year2014_meso128_winning.yml
-echo "[year_winning] predict rc=$? at $(date -u +%FT%TZ)"
+rc=$?
+echo "[year_winning] predict rc=${rc} at $(date -u +%FT%TZ)"
+if [ "${rc}" -ne 0 ]; then
+  # abort the chain: metrics/figures on a missing ensemble would bury the
+  # real failure under their own tracebacks (observed 2026-08-20)
+  echo "[year_winning] FATAL: predict failed; aborting before metrics"
+  exit "${rc}"
+fi
 
 EXP=$(ls -d runs/year2014_winning/*year2014_meso128_winning* | head -1)
 echo "[year_winning] exp dir: ${EXP}"
