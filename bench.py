@@ -423,6 +423,16 @@ def main():
             demonstrated = json.load(f)
     except Exception:
         pass
+    # the same workload at the CONFIRMED spectral-fidelity setting
+    # (guidance + SDE eta=0.3 + calibration + projection; H9) — records the
+    # quality-passing pipeline's end-to-end cost next to the deterministic
+    # record above
+    winning = None
+    try:
+        with open("docs/fidelity/meso128/YEAR2014_WINNING.json") as f:
+            winning = json.load(f)
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -470,6 +480,7 @@ def main():
                 # (includes guidance, resume checkpointing, and sample
                 # fetches — the honest end-to-end number)
                 "year2014_demonstrated": demonstrated,
+                "year2014_winning_demonstrated": winning,
                 "collective_audit_8dev": audit,
             }
         )
